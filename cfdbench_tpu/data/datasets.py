@@ -1,0 +1,221 @@
+"""Packed-array datasets.
+
+The reference exposes torch ``Dataset`` objects holding python lists of
+per-pair tensors (e.g. ``CavityFlowAutoDataset.load_data``,
+``src/dataset/cavity.py:274-331``). On TPU we want dense, statically
+shaped host arrays that can be sliced into device batches without python
+per-item overhead — so both dataset flavors here are packed numpy
+structs. Semantics (pair slicing, convergence truncation, NaN checks,
+case-param vectorization) match the reference exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .core import (
+    DATA_DELTA_TIME,
+    CaseData,
+    load_case,
+    normalize_case_params,
+)
+
+
+@dataclass
+class AutoDataset:
+    """Frame-pair dataset for autoregressive models.
+
+    Arrays:
+        inputs:  (N, H, W, 2)  — [u, v] at t
+        labels:  (N, H, W, 2)  — [u, v] at t + delta_time
+        masks:   (N, H, W, 1)  — geometry mask (1 interior, 0 obstacle)
+        case_params: (N, P)    — per-pair case-parameter vector
+        case_ids: (N,) int32   — originating case index
+
+    Per-case data for multi-step rollout evaluation:
+        all_features: list of (T, H, W, 3) arrays
+        case_params_list: list of dicts (normalized)
+    """
+
+    inputs: np.ndarray
+    labels: np.ndarray
+    masks: np.ndarray
+    case_params: np.ndarray
+    case_ids: np.ndarray
+    all_features: List[np.ndarray]
+    case_params_list: List[Dict[str, float]]
+
+    def __len__(self) -> int:
+        return self.inputs.shape[0]
+
+    @property
+    def field_shape(self):
+        return self.inputs.shape[1:3]
+
+    @property
+    def n_case_params(self) -> int:
+        return self.case_params.shape[1]
+
+
+@dataclass
+class FrameDataset:
+    """Frame-indexed dataset for non-autoregressive models.
+
+    Each example is (case_params, t, frame) where t is the frame index
+    within its case (``CavityFlowDataset.__getitem__``, cavity.py:199-205).
+    """
+
+    frames: np.ndarray        # (N, H, W, 3)
+    frame_t: np.ndarray       # (N,) float32 — frame index within case
+    case_params: np.ndarray   # (N, P)
+    case_ids: np.ndarray      # (N,) int32
+    case_params_list: List[Dict[str, float]]
+
+    def __len__(self) -> int:
+        return self.frames.shape[0]
+
+    @property
+    def field_shape(self):
+        return self.frames.shape[1:3]
+
+    @property
+    def n_case_params(self) -> int:
+        return self.case_params.shape[1]
+
+
+# Problems whose auto datasets truncate at convergence. dam loads all
+# frames (src/dataset/dam.py:304-312 has no stable-state cutoff).
+_TRUNCATING = {"cavity", "tube", "cylinder"}
+
+
+def _truncate_at_convergence(
+    features: np.ndarray, time_step_size: int, stable_state_diff: float
+) -> int:
+    """Number of usable (input, label) pairs before convergence.
+
+    Mirrors the loop in cavity.py:308-323: pairs are scanned in order and
+    the first pair with mean |‖uv_t‖ − ‖uv_{t+Δ}‖| < ``stable_state_diff``
+    terminates loading (that pair excluded).
+    """
+    inputs = features[:-time_step_size]
+    outputs = features[time_step_size:]
+    inp_mag = np.sqrt(inputs[..., 0] ** 2 + inputs[..., 1] ** 2)
+    out_mag = np.sqrt(outputs[..., 0] ** 2 + outputs[..., 1] ** 2)
+    diffs = np.abs(inp_mag - out_mag).mean(axis=(1, 2))
+    converged = np.nonzero(diffs < stable_state_diff)[0]
+    return int(converged[0]) if converged.size else len(inputs)
+
+
+def build_auto_dataset(
+    problem: str,
+    case_dirs: Sequence[Path],
+    norm_props: bool,
+    norm_bc: bool,
+    delta_time: float = 0.1,
+    stable_state_diff: float = 0.001,
+) -> AutoDataset:
+    assert len(case_dirs) > 0, (
+        f"{problem}: split has 0 cases — too few cases for an 80/10/10 "
+        "case-level split; add cases or merge subsets"
+    )
+    data_dt = DATA_DELTA_TIME[problem]
+    time_step_size = int(delta_time / data_dt)
+    assert time_step_size >= 1, (
+        f"delta_time {delta_time} < data delta {data_dt}"
+    )
+
+    all_inputs, all_labels, all_masks = [], [], []
+    all_params, all_case_ids = [], []
+    all_features: List[np.ndarray] = []
+    params_list: List[Dict[str, float]] = []
+
+    for case_id, case_dir in enumerate(case_dirs):
+        case = load_case(problem, Path(case_dir))
+        features = case.features  # (T, H, W, 3)
+        all_features.append(features)
+        normalize_case_params(problem, case.params, norm_props, norm_bc)
+        params_list.append(case.params)
+        pvec = case.params_vector
+
+        if features.shape[0] <= time_step_size:
+            continue
+        if problem in _TRUNCATING:
+            n_pairs = _truncate_at_convergence(
+                features, time_step_size, stable_state_diff
+            )
+        else:
+            n_pairs = features.shape[0] - time_step_size
+        if n_pairs == 0:
+            continue
+        inp = features[:n_pairs]
+        out = features[time_step_size: time_step_size + n_pairs]
+        assert not np.isnan(inp).any() and not np.isnan(out).any(), (
+            f"NaN in case {case_dir}"
+        )
+        all_inputs.append(inp[..., :2])
+        all_labels.append(out[..., :2])
+        all_masks.append(inp[..., 2:3])
+        all_params.append(np.broadcast_to(pvec, (n_pairs, pvec.size)))
+        all_case_ids.append(np.full((n_pairs,), case_id, dtype=np.int32))
+
+    assert all_inputs, "no training pairs produced"
+    return AutoDataset(
+        inputs=np.concatenate(all_inputs).astype(np.float32),
+        labels=np.concatenate(all_labels).astype(np.float32),
+        masks=np.concatenate(all_masks).astype(np.float32),
+        case_params=np.concatenate(all_params).astype(np.float32),
+        case_ids=np.concatenate(all_case_ids),
+        all_features=all_features,
+        case_params_list=params_list,
+    )
+
+
+# Per-problem case-param key order for the non-auto (frame) datasets
+# (class attrs ``case_params_keys``, e.g. cavity.py:68-74).
+FRAME_PARAM_KEYS = {
+    "cavity": ["vel_top", "density", "viscosity", "height", "width"],
+    "tube": ["vel_in", "density", "viscosity", "height", "width"],
+    "dam": ["velocity", "density", "viscosity", "height", "width"],
+    "cylinder": [
+        "vel_in", "density", "viscosity", "height", "width",
+        "center_x", "center_y", "radius",
+    ],
+}
+
+
+def build_frame_dataset(
+    problem: str,
+    case_dirs: Sequence[Path],
+    norm_props: bool,
+    norm_bc: bool,
+) -> FrameDataset:
+    assert len(case_dirs) > 0, (
+        f"{problem}: split has 0 cases — too few cases for an 80/10/10 "
+        "case-level split; add cases or merge subsets"
+    )
+    keys = FRAME_PARAM_KEYS[problem]
+    frames, frame_t, params_rows, case_ids = [], [], [], []
+    params_list: List[Dict[str, float]] = []
+    for case_id, case_dir in enumerate(case_dirs):
+        case = load_case(problem, Path(case_dir))
+        normalize_case_params(problem, case.params, norm_props, norm_bc)
+        params_list.append(case.params)
+        pvec = np.asarray(
+            [case.params[k] for k in keys], dtype=np.float32
+        )
+        T = case.num_frames
+        frames.append(case.features)
+        frame_t.append(np.arange(T, dtype=np.float32))
+        params_rows.append(np.broadcast_to(pvec, (T, pvec.size)))
+        case_ids.append(np.full((T,), case_id, dtype=np.int32))
+    return FrameDataset(
+        frames=np.concatenate(frames).astype(np.float32),
+        frame_t=np.concatenate(frame_t),
+        case_params=np.concatenate(params_rows).astype(np.float32),
+        case_ids=np.concatenate(case_ids),
+        case_params_list=params_list,
+    )

@@ -1,0 +1,187 @@
+"""Shared model building blocks.
+
+- activation registry incl. the paper's scale-invariant ``NormAct``
+  (``src/models/act_fn.py:21-47``),
+- ``Mlp``: the generic Linear+act stack (``src/models/ffn.py:12-35``),
+- torch-default initializers so training dynamics match the reference's
+  ``nn.Linear``/``nn.Conv2d`` initialization distributions.
+
+All modules are flax.linen with NHWC conventions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_kernel_init(dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Linear/Conv2d default
+    (kaiming_uniform with a=sqrt(5))."""
+
+    def init(key, shape, dtype=dtype):
+        # Dense kernels are (fan_in, fan_out); conv kernels are
+        # (kh, kw, in_ch, out_ch) → fan_in = kh*kw*in_ch.
+        if len(shape) == 2:
+            fan_in = shape[0]
+        else:
+            receptive = 1
+            for s in shape[:-2]:
+                receptive *= s
+            fan_in = shape[-2] * receptive
+        bound = fan_in ** -0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_bias_init(fan_in: int, dtype=jnp.float32):
+    def init(key, shape, dtype=dtype):
+        bound = fan_in ** -0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Dense(nn.Module):
+    """nn.Dense with torch-default init."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            kernel_init=torch_kernel_init(),
+            bias_init=torch_bias_init(in_features),
+        )(x)
+
+
+class Conv(nn.Module):
+    """NHWC conv with torch-default init and optional replicate padding.
+
+    The reference's conv models use ``padding_mode="replicate"``
+    (``src/models/resnet.py:35-43``); XLA has no replicate conv padding,
+    so we pad explicitly (edge mode) and run a VALID conv — numerically
+    identical.
+    """
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 0
+    replicate_pad: bool = False
+    stride: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        pad = self.padding
+        if self.replicate_pad and pad > 0:
+            x = jnp.pad(
+                x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge"
+            )
+            padding = "VALID"
+        else:
+            padding = [(pad, pad), (pad, pad)]
+        fan_in = in_features * k * k
+        return nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=padding,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init(),
+            bias_init=torch_bias_init(fan_in),
+        )(x)
+
+
+def norm_act(act: Callable, x: jnp.ndarray) -> jnp.ndarray:
+    """Scale-invariant activation (``src/models/act_fn.py:33-47``):
+    normalize per-sample (mean/std over non-batch dims), apply act,
+    de-normalize. Uses the unbiased std like ``Tensor.std()``."""
+    dims = tuple(range(1, x.ndim))
+    mean = jnp.mean(x, axis=dims, keepdims=True)
+    n = 1
+    for d in dims:
+        n *= x.shape[d]
+    var = jnp.sum(jnp.square(x - mean), axis=dims, keepdims=True) / max(
+        n - 1, 1
+    )
+    std = jnp.sqrt(var)
+    return act((x - mean) / std) * std + mean
+
+
+_ACTS = {
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+    "gelu": nn.gelu,
+    "swish": nn.silu,
+}
+
+
+def get_act_fn(name: str, norm: bool = False) -> Callable:
+    """Mirror of ``src/models/act_fn.py:5-18``."""
+    if name not in _ACTS:
+        raise ValueError(f"Unknown activation function: {name}")
+    act = _ACTS[name]
+    if norm:
+        return lambda x: norm_act(act, x)
+    return act
+
+
+class Mlp(nn.Module):
+    """Generic fully connected stack (reference ``Ffn``,
+    ``src/models/ffn.py:12-35``): Linear+act between all dims, final
+    Linear without act unless ``act_on_output``."""
+
+    dims: Sequence[int]  # [in, hidden..., out]; in is checked vs input
+    act_name: str = "relu"
+    act_norm: bool = False
+    act_on_output: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_act_fn(self.act_name, self.act_norm)
+        dims = list(self.dims)
+        assert x.shape[-1] == dims[0], (x.shape, dims)
+        for d in dims[1:-1]:
+            x = Dense(d)(x)
+            x = act(x)
+        x = Dense(dims[-1])(x)
+        if self.act_on_output:
+            x = act(x)
+        return x
+
+
+def broadcast_params_to_channels(case_params, h, w):
+    """(B, P) → (B, H, W, P) constant channel planes."""
+    return jnp.broadcast_to(
+        case_params[:, None, None, :],
+        (case_params.shape[0], h, w, case_params.shape[1]),
+    )
+
+
+def coord_channels(batch, h, w, dtype=jnp.float32):
+    """(B, H, W, 2) with x=linspace over rows, y=linspace over cols —
+    matches ``Fno2d.get_coords`` (``fno2d.py:244-255``)."""
+    gx = jnp.linspace(0.0, 1.0, h, dtype=dtype)
+    gy = jnp.linspace(0.0, 1.0, w, dtype=dtype)
+    grid_x = jnp.broadcast_to(gx[:, None], (h, w))
+    grid_y = jnp.broadcast_to(gy[None, :], (h, w))
+    grid = jnp.stack([grid_x, grid_y], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, h, w, 2))
+
+
+def ensure_mask(mask, batch, h, w):
+    """None → all-ones; (B,H,W) → (B,H,W,1)."""
+    if mask is None:
+        return jnp.ones((batch, h, w, 1), dtype=jnp.float32)
+    if mask.ndim == 3:
+        mask = mask[..., None]
+    return mask

@@ -1,0 +1,106 @@
+"""Fourier Neural Operator (the flagship autoregressive model).
+
+Behavioral mirror of ``Fno2d`` (``src/models/fno/fno2d.py:115-255``):
+input channels = [u, v] ‖ mask ‖ (x, y) coord grid ‖ case-param planes;
+1×1-conv lift to ``hidden_dim``; N FnoBlocks (spectral conv + 1×1-conv
+bypass + GELU); 1×1-conv head fc1(→128) → GELU → fc2(→out_chan); output
+multiplied by the geometry mask.
+
+TPU-native: NHWC layout; 1×1 convs are Dense layers over the channel
+axis (identical math, maps straight onto the MXU); spectral conv from
+``cfdbench_tpu.ops.spectral``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.spectral import init_spectral_weights, spectral_conv2d
+from .common import (
+    Dense,
+    broadcast_params_to_channels,
+    coord_channels,
+    ensure_mask,
+)
+
+
+class SpectralConv2d(nn.Module):
+    out_channels: int
+    modes1: int = 12
+    modes2: int = 12
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param(
+            "weights",
+            lambda key: init_spectral_weights(
+                key, in_ch, self.out_channels, self.modes1, self.modes2
+            ),
+        )
+        return spectral_conv2d(x, w, self.modes1, self.modes2)
+
+
+class FnoBlock(nn.Module):
+    out_chan: int
+    modes1: int
+    modes2: int
+    use_act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = SpectralConv2d(self.out_chan, self.modes1, self.modes2)(x)
+        x2 = Dense(self.out_chan)(x)  # 1x1 conv bypass (fno2d.py:104)
+        x = x1 + x2
+        if self.use_act:
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class Fno2d(nn.Module):
+    """Autoregressive FNO. ``__call__(inputs, case_params, mask) → preds``.
+
+    inputs: (B, H, W, in_chan); case_params: (B, P); mask: (B, H, W, 1)
+    or None. Returns (B, H, W, out_chan), masked.
+    """
+
+    in_chan: int = 2
+    out_chan: int = 2
+    n_case_params: int = 5
+    num_layers: int = 4
+    modes1: int = 12
+    modes2: int = 12
+    hidden_dim: int = 32
+    padding: Optional[int] = None
+
+    regime = "auto"
+    pointwise = False
+
+    @nn.compact
+    def __call__(self, inputs, case_params, mask=None):
+        B, H, W, _ = inputs.shape
+        mask = ensure_mask(mask, B, H, W)
+        x = jnp.concatenate(
+            [
+                inputs,
+                mask,
+                coord_channels(B, H, W, inputs.dtype),
+                broadcast_params_to_channels(case_params, H, W),
+            ],
+            axis=-1,
+        )
+        x = Dense(self.hidden_dim)(x)  # fc0 lift (1x1 conv)
+        if self.padding is not None:
+            p = self.padding
+            x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
+        for _ in range(self.num_layers):
+            x = FnoBlock(self.hidden_dim, self.modes1, self.modes2)(x)
+        if self.padding is not None:
+            x = x[:, : -self.padding, : -self.padding, :]
+        x = Dense(128)(x)  # fc1
+        x = nn.gelu(x, approximate=False)
+        preds = Dense(self.out_chan)(x)  # fc2
+        return preds * mask

@@ -1,0 +1,45 @@
+"""Metric semantics: parity with torch.nn.functional and weighted-padding
+exactness."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from cfdbench_tpu.metrics import loss_name_to_fn, score_dict
+
+
+def test_score_dict_matches_torch(rng):
+    preds = rng.standard_normal((4, 2, 8, 8)).astype(np.float32)
+    labels = rng.standard_normal((4, 2, 8, 8)).astype(np.float32)
+    ours = score_dict(preds, labels, normalize=True)
+    tp, tl = torch.tensor(preds), torch.tensor(labels)
+    mse = F.mse_loss(tp, tl).item()
+    mae = F.l1_loss(tp, tl).item()
+    nmse = mse / torch.square(tl).mean().item()
+    assert np.isclose(float(ours["mse"]), mse, rtol=1e-6)
+    assert np.isclose(float(ours["mae"]), mae, rtol=1e-6)
+    assert np.isclose(float(ours["rmse"]), np.sqrt(mse), rtol=1e-6)
+    assert np.isclose(float(ours["nmse"]), nmse, rtol=1e-6)
+
+
+def test_weighted_padding_is_exact(rng):
+    preds = rng.standard_normal((5, 3, 4, 4)).astype(np.float32)
+    labels = rng.standard_normal((5, 3, 4, 4)).astype(np.float32)
+    # Pad to 8 with garbage rows, weight them 0.
+    pad = np.full((3, 3, 4, 4), 7.7, dtype=np.float32)
+    p8 = np.concatenate([preds, pad])
+    l8 = np.concatenate([labels, -pad])
+    w = np.array([1, 1, 1, 1, 1, 0, 0, 0], dtype=np.float32)
+    a = score_dict(preds, labels, normalize=True)
+    b = score_dict(p8, l8, normalize=True, sample_weights=w)
+    for k in a:
+        assert np.isclose(float(a[k]), float(b[k]), rtol=1e-6), k
+
+
+def test_loss_name_factory():
+    assert loss_name_to_fn("mse").normalize is False
+    assert loss_name_to_fn("nmse").normalize is True
+    assert loss_name_to_fn("nmse").get_score_names() == [
+        "mse", "rmse", "mae", "nmse",
+    ]
+    assert loss_name_to_fn("mse").get_score_names() == ["mse", "rmse", "mae"]
