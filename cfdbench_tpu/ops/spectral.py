@@ -30,12 +30,18 @@ def spectral_conv2d(
     """Returns (B, H, W, Cout) float32."""
     B, H, W, Cin = x.shape
     Cout = weights.shape[3]
-    m1, m2 = modes1, modes2
     wf = W // 2 + 1
+    # Clamp retained modes to the grid's spectrum (the reference assumes
+    # 64×64 where modes=12 always fits; clamping keeps parameter shapes
+    # config-determined while supporting any grid).
+    m1 = min(modes1, H // 2)
+    m2 = min(modes2, wf)
 
     x_ft = jnp.fft.rfft2(x, axes=(1, 2))  # (B, H, wf, Cin) complex64
 
-    w_c = weights[:, 0] + 1j * weights[:, 1]  # (2, Cin, Cout, m1, m2)
+    w_c = (
+        weights[:, 0, :, :, :m1, :m2] + 1j * weights[:, 1, :, :, :m1, :m2]
+    )  # (2, Cin, Cout, m1, m2)
 
     top = jnp.einsum(
         "bxyi,ioxy->bxyo", x_ft[:, :m1, :m2, :], w_c[0]

@@ -1,0 +1,59 @@
+"""Mesh construction and sharding rules.
+
+The reference implements no parallelism of any kind (SURVEY.md §2,
+"Parallelism note"); this subsystem is TPU-greenfield. Strategy:
+
+- 2-D logical mesh ``(data, model)``. Batches are sharded over ``data``
+  (pure DP); selected large weight matrices can be sharded over
+  ``model`` (TP) — XLA inserts the all-reduces/all-gathers over ICI.
+- Everything flows through ``jit`` with ``NamedSharding`` annotations;
+  no hand-written collectives on the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    spec: str = "auto", devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a ``(data, model)`` mesh.
+
+    spec: ``"auto"`` (all devices on data), ``"N"`` (N-way data), or
+    ``"NxM"`` (N-way data × M-way model).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if spec == "auto":
+        d, m = n, 1
+    elif "x" in spec:
+        d, m = (int(s) for s in spec.split("x"))
+    else:
+        d, m = int(spec), 1
+    assert d * m <= n, f"mesh {d}x{m} needs {d * m} devices, have {n}"
+    arr = np.array(devices[: d * m]).reshape(d, m)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_spec(mesh: Mesh, batch: dict) -> dict:
+    """Per-leaf NamedSharding pytree for a batch dict (all leaves have
+    batch as the leading axis)."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda _: s, batch)

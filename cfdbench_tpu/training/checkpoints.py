@@ -1,0 +1,96 @@
+"""Checkpointing with the reference's result-dir layout.
+
+Layout contract (``src/train_auto.py:284-310``,
+``src/utils/common.py:161-174``): per eval epoch a ``ckpt-{ep}/``
+directory containing the model weights plus ``scores.json`` with
+``{ep, train_loss, dev_loss, time}``; "best" is selected post-hoc by
+scanning all ``ckpt-*/scores.json`` for the minimum ``dev_loss``.
+
+Weights are stored via Orbax (``ckpt-{ep}/model/`` pytree dir) —
+sharding-aware and async-capable; downstream tooling only depends on
+the JSON artifacts, which are unchanged.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+
+from ..data.core import dump_json, load_json
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from flax import serialization
+
+
+def save_params(params: Any, ckpt_dir: Path) -> None:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    if _HAS_ORBAX:
+        path = (ckpt_dir / "model").absolute()
+        with ocp.StandardCheckpointer() as ckptr:
+            if path.exists():
+                # Reference backs up an existing model.pt before
+                # overwriting (train_auto.py:297-300); orbax refuses to
+                # overwrite, so rotate to backup_model.
+                backup = ckpt_dir / "backup_model"
+                if backup.exists():
+                    import shutil
+
+                    shutil.rmtree(backup)
+                path.rename(backup)
+            ckptr.save(path, jax.device_get(params))
+    else:
+        (ckpt_dir / "model.msgpack").write_bytes(
+            serialization.to_bytes(jax.device_get(params))
+        )
+
+
+def load_params(template: Any, ckpt_dir: Path) -> Any:
+    ckpt_dir = Path(ckpt_dir)
+    if _HAS_ORBAX and (ckpt_dir / "model").exists():
+        with ocp.StandardCheckpointer() as ckptr:
+            target = jax.tree.map(
+                lambda x: jax.device_get(x), template
+            )
+            return ckptr.restore(
+                (ckpt_dir / "model").absolute(), target
+            )
+    data = (ckpt_dir / "model.msgpack").read_bytes()
+    return serialization.from_bytes(template, data)
+
+
+def get_best_ckpt(output_dir: Path) -> Optional[Path]:
+    """Scan ``ckpt-*/scores.json`` for min dev_loss
+    (``src/utils/common.py:161-174``)."""
+    best_loss, best_dir = float("inf"), None
+    for ckpt_dir in sorted(Path(output_dir).glob("ckpt-*")):
+        scores_file = ckpt_dir / "scores.json"
+        if not scores_file.exists():
+            continue
+        dev_loss = load_json(scores_file)["dev_loss"]
+        if dev_loss < best_loss:
+            best_loss, best_dir = dev_loss, ckpt_dir
+    return best_dir
+
+
+def load_best_params(template: Any, output_dir: Path) -> Any:
+    best = get_best_ckpt(output_dir)
+    assert best is not None, f"no checkpoints under {output_dir}"
+    return load_params(template, best)
+
+
+def save_epoch_scores(
+    ckpt_dir: Path, ep: int, train_loss: float, dev_loss: float, time_s: float
+) -> None:
+    dump_json(
+        dict(ep=ep, train_loss=train_loss, dev_loss=dev_loss, time=time_s),
+        Path(ckpt_dir) / "scores.json",
+    )

@@ -1,0 +1,354 @@
+"""Autoregressive trainer (the ``train_auto.py`` driver's engine).
+
+Behavioral mirror of ``src/train_auto.py`` with TPU-native mechanics:
+- one jitted, donated train step (forward+backward+Adam update fused by
+  XLA) instead of per-op dispatch,
+- statically shaped padded batches with 0/1 sample weights (bit-exact
+  metrics, no retracing),
+- batches sharded over the mesh's data axis; params replicated,
+- evaluate() computes both prediction scores and the input-as-prediction
+  persistence baseline per batch (``src/train_auto.py:92-97, 132-139``),
+- artifacts: ``ckpt-{ep}/{model, dev_scores.json, train_loss.json,
+  scores.json}``, final ``train_losses.json`` (+ png curves).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.datasets import AutoDataset
+from ..data.pipeline import batches, num_batches
+from ..metrics import LossFn
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..utils.artifacts import dump_json, plot_loss, plot_predictions
+from . import checkpoints
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class AutoTask:
+    """Couples a model with loss semantics for its family.
+
+    Field models (fno/unet/resnet): model returns masked (B,H,W,C)
+    preds; loss against mask-multiplied labels over all channels.
+    Point models (auto_ffn / auto_deeponet / auto_edeeponet /
+    auto_deeponet_cnn): model returns flat (B, H*W) u-channel preds at
+    the full query lattice; loss against flattened u labels (unmasked)
+    — matching e.g. ``src/models/auto_deeponet.py:108-144``.
+    """
+
+    def __init__(self, model, loss_fn: LossFn):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.pointwise = getattr(model, "pointwise", False)
+
+    def init_params(self, rng, sample_batch) -> Any:
+        return self.model.init(
+            rng,
+            sample_batch["inputs"],
+            sample_batch["case_params"],
+            sample_batch["mask"],
+        )
+
+    def loss_scores(self, params, batch):
+        preds = self.model.apply(
+            params, batch["inputs"], batch["case_params"], batch["mask"]
+        )
+        w = batch.get("weights")
+        if self.pointwise:
+            b = batch["labels"].shape[0]
+            labels = batch["labels"][..., 0].reshape(b, -1)
+        else:
+            labels = batch["labels"] * batch["mask"]
+        scores = self.loss_fn(preds, labels, sample_weights=w)
+        return scores[self.loss_fn.objective], scores
+
+    def predict_frame(self, params, inputs, case_params, mask):
+        """Full-field next-frame prediction (for rollout / generate)."""
+        preds = self.model.apply(params, inputs, case_params, mask)
+        if self.pointwise:
+            b, h, w = inputs.shape[0], inputs.shape[1], inputs.shape[2]
+            preds = preds.reshape(b, h, w, 1)
+        return preds
+
+    @property
+    def feedback_channels(self) -> int:
+        """Channels carried through the rollout. DeepONet-family models
+        feed back their 1-channel u prediction (reference quirk,
+        SURVEY.md §2.3)."""
+        return 1 if self.pointwise else self.model.out_chan
+
+
+def make_train_step(task: AutoTask, tx: optax.GradientTransformation):
+    def train_step(state: TrainState, batch):
+        def lf(params):
+            return task.loss_scores(params, batch)
+
+        grads, scores = jax.grad(lf, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), scores
+
+    return jax.jit(train_step, donate_argnums=0)
+
+
+def make_eval_step(task: AutoTask):
+    def eval_step(params, batch):
+        _, scores = task.loss_scores(params, batch)
+        # Persistence baseline: input u as prediction of label u,
+        # unmasked (src/train_auto.py:92-97).
+        input_scores = task.loss_fn(
+            batch["inputs"][..., :1],
+            batch["labels"][..., :1],
+            sample_weights=batch.get("weights"),
+        )
+        preds = task.predict_frame(
+            params, batch["inputs"], batch["case_params"], batch["mask"]
+        )
+        return scores, input_scores, preds
+
+    return jax.jit(eval_step)
+
+
+def dataset_arrays(data: AutoDataset) -> Dict[str, np.ndarray]:
+    return dict(
+        inputs=data.inputs,
+        labels=data.labels,
+        mask=data.masks,
+        case_params=data.case_params,
+    )
+
+
+def evaluate(
+    task: AutoTask,
+    params,
+    data: AutoDataset,
+    output_dir: Path,
+    batch_size: int = 2,
+    plot_interval: Optional[int] = None,
+    eval_step=None,
+    mesh=None,
+    collect_preds: bool = True,
+    measure_time: bool = False,
+) -> Dict[str, Any]:
+    """Mirror of ``src/train_auto.py:61-148``: per-batch score lists,
+    means over batches, optional prediction collection and plots."""
+    if eval_step is None:
+        eval_step = make_eval_step(task)
+    pad_mult = mesh.shape["data"] if mesh is not None else 1
+    names = task.loss_fn.get_score_names()
+    scores = {k: [] for k in names}
+    input_scores = {k: [] for k in names}
+    all_preds = []
+    start = time.time()
+    n_batches = 0
+    for step, batch in enumerate(
+        batches(
+            dataset_arrays(data), batch_size, shuffle=False,
+            pad_multiple=pad_mult,
+        )
+    ):
+        if mesh is not None:
+            batch = jax.device_put(batch, batch_sharding(mesh))
+        s, isc, preds = eval_step(params, batch)
+        n_valid = int(batch["weights"].sum())
+        for k in names:
+            scores[k].append(float(s[k]))
+            input_scores[k].append(float(isc[k]))
+        if collect_preds:
+            all_preds.append(np.asarray(preds)[:n_valid])
+        n_batches += 1
+        if (
+            plot_interval
+            and step % plot_interval == 0
+            and not measure_time
+            and not task.pointwise
+        ):
+            plot_predictions(
+                inp=np.asarray(batch["inputs"][0, ..., 0]),
+                label=np.asarray(batch["labels"][0, ..., 0]),
+                pred=np.asarray(preds[0, ..., 0]),
+                out_dir=Path(output_dir) / "images",
+                step=step,
+            )
+    if measure_time:
+        jax.block_until_ready(preds)
+        dt = 1000 * (time.time() - start) / n_batches
+        print(f"Time (ms) per step: {dt:.3f}")
+
+    avg_scores = {}
+    for k in names:
+        avg_scores[k] = float(np.mean(scores[k]))
+        avg_scores[f"input_{k}"] = float(np.mean(input_scores[k]))
+    result: Dict[str, Any] = dict(
+        scores=dict(mean=avg_scores, all=scores),
+    )
+    if collect_preds:
+        result["preds"] = np.concatenate(all_preds) if all_preds else None
+    if "nmse" in scores:
+        plot_loss(scores["nmse"], Path(output_dir) / "loss.png")
+    return result
+
+
+def train(
+    task: AutoTask,
+    train_data: AutoDataset,
+    dev_data: AutoDataset,
+    output_dir: Path,
+    num_epochs: int = 400,
+    lr: float = 1e-3,
+    lr_step_size: int = 1,
+    lr_gamma: float = 0.9,
+    batch_size: int = 2,
+    eval_batch_size: int = 2,
+    log_interval: int = 10,
+    eval_interval: int = 2,
+    seed: int = 0,
+    mesh=None,
+    measure_time: bool = False,
+) -> TrainState:
+    from .optim import make_adam
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    steps_per_epoch = num_batches(len(train_data), batch_size)
+    tx = make_adam(
+        lr,
+        gamma=lr_gamma,
+        lr_step_size=lr_step_size,
+        steps_per_epoch=steps_per_epoch,
+    )
+    lr_schedule = lambda step: lr * lr_gamma ** (  # noqa: E731
+        (step // steps_per_epoch) // lr_step_size
+    )
+
+    arrays = dataset_arrays(train_data)
+    sample = next(iter(batches(arrays, batch_size, shuffle=False)))
+    params = task.init_params(jax.random.PRNGKey(seed), sample)
+    opt_state = tx.init(params)
+    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    if mesh is not None:
+        state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_step = make_train_step(task, tx)
+    eval_step = make_eval_step(task)
+
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"Model has {n_params} parameters")
+    print("====== Training ======")
+    print(f"# batch: {batch_size}")
+    print(f"# examples: {len(train_data)}")
+    print(f"# step: {steps_per_epoch}")
+    print(f"# epoch: {num_epochs}")
+
+    start_time = time.time()
+    global_step = 0
+    train_losses = []
+    objective = task.loss_fn.objective
+
+    for ep in range(num_epochs):
+        ep_start = time.time()
+        ep_losses = []
+        rng = np.random.default_rng(seed * 1_000_003 + ep)
+        for step, batch in enumerate(
+            batches(
+                arrays, batch_size, shuffle=True, rng=rng,
+                pad_multiple=mesh.shape["data"] if mesh is not None else 1,
+            )
+        ):
+            if mesh is not None:
+                batch = jax.device_put(batch, batch_sharding(mesh))
+            state, scores = train_step(state, batch)
+            ep_losses.append(float(scores[objective]))
+            global_step += 1
+            if global_step % log_interval == 0:
+                info = dict(
+                    ep=ep,
+                    step=step,
+                    mse=f"{float(scores['mse']):.3e}",
+                    **{
+                        objective: f"{ep_losses[-1]:.3e}"
+                        for _ in [0]
+                        if objective != "mse"
+                    },
+                    lr=f"{lr_schedule(global_step - 1):.3e}",
+                    time=round(time.time() - start_time),
+                )
+                print(info)
+
+        if measure_time:
+            jax.block_until_ready(state.params)
+            print("Time usage:")
+            print(time.time() - ep_start)
+            return state
+
+        train_losses += ep_losses
+        if (ep + 1) % eval_interval == 0:
+            ckpt_dir = output_dir / f"ckpt-{ep}"
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            result = evaluate(
+                task,
+                state.params,
+                dev_data,
+                ckpt_dir,
+                batch_size=eval_batch_size,
+                eval_step=eval_step,
+                mesh=mesh,
+                collect_preds=False,
+            )
+            dev_scores = result["scores"]
+            dump_json(dev_scores, ckpt_dir / "dev_scores.json")
+            dump_json(ep_losses, ckpt_dir / "train_loss.json")
+            checkpoints.save_params(state.params, ckpt_dir)
+            dev_key = "nmse" if "nmse" in dev_scores["all"] else objective
+            checkpoints.save_epoch_scores(
+                ckpt_dir,
+                ep=ep,
+                train_loss=float(np.mean(ep_losses)),
+                dev_loss=float(np.mean(dev_scores["all"][dev_key])),
+                time_s=time.time() - ep_start,
+            )
+    print("====== Training done ======")
+    dump_json(train_losses, output_dir / "train_losses.json")
+    plot_loss(train_losses, output_dir / "train_losses.png")
+    return state
+
+
+def test(
+    task: AutoTask,
+    params,
+    data: AutoDataset,
+    output_dir: Path,
+    batch_size: int = 1,
+    plot_interval: int = 10,
+    mesh=None,
+    measure_time: bool = False,
+) -> None:
+    """Single-step test-set eval; writes preds.npy + scores.json
+    (reference writes preds.pt, ``src/train_auto.py:151-178``)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    result = evaluate(
+        task,
+        params,
+        data,
+        output_dir,
+        batch_size=batch_size,
+        plot_interval=plot_interval,
+        mesh=mesh,
+        measure_time=measure_time,
+    )
+    if result.get("preds") is not None:
+        np.save(output_dir / "preds.npy", result["preds"])
+    dump_json(result["scores"], output_dir / "scores.json")
