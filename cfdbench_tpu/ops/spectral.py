@@ -18,16 +18,115 @@ TPU-native design notes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
+import numpy as np
 
 
-def spectral_conv2d(
+@lru_cache(maxsize=None)
+def _dft_factors(H: int, W: int, m1: int, m2: int):
+    """Precomputed real/imag DFT factor matrices for the matmul path.
+
+    Forward (rfft2 restricted to retained modes):
+        E1[k, h] = exp(-2πi·K1[k]·h/H), K1 = [0..m1-1, H-m1..H-1]
+        E2[m, w] = exp(-2πi·m·w/W), m = 0..m2-1
+    Inverse (irfft2 of a half-spectrum that is zero outside the
+    retained modes; matches pocketfft C2R semantics exactly, including
+    dropping the imaginary part at column 0 — validated numerically
+    against numpy and torch irfft2):
+        A[h, k] = exp(+2πi·K1[k]·h/H) / H
+        B[w, m] = α_m · exp(+2πi·m·w/W) / W,  α_0 = 1, α_{m>0} = 2
+    """
+    k1 = np.concatenate([np.arange(m1), np.arange(H - m1, H)])
+    k2 = np.arange(m2)
+    h = np.arange(H)
+    w = np.arange(W)
+    E1 = np.exp(-2j * np.pi * np.outer(k1, h) / H)  # (2m1, H)
+    E2 = np.exp(-2j * np.pi * np.outer(k2, w) / W)  # (m2, W)
+    A = np.exp(2j * np.pi * np.outer(h, k1) / H) / H  # (H, 2m1)
+    alpha = np.where(k2 == 0, 1.0, 2.0)
+    B = alpha * np.exp(2j * np.pi * np.outer(w, k2) / W) / W  # (W, m2)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    return (
+        f32(E1.real), f32(E1.imag),
+        f32(E2.real), f32(E2.imag),
+        f32(A.real), f32(A.imag),
+        f32(B.real), f32(B.imag),
+    )
+
+
+def spectral_conv2d_matmul(
+    x: jnp.ndarray,  # (B, H, W, Cin) float32
+    weights: jnp.ndarray,  # (2, 2, Cin, Cout, m1, m2)
+    modes1: int,
+    modes2: int,
+) -> jnp.ndarray:
+    """FFT-free spectral conv: project onto the retained Fourier modes
+    with dense DFT matmuls (MXU-friendly), mix channels per mode,
+    reconstruct. Bit-equivalent in exact arithmetic to the rfft2 →
+    truncate → mix → irfft2 pipeline (see ``_dft_factors``); preferred
+    on TPU where it avoids the XLA FFT op and computes only the
+    2·m1×m2 retained modes instead of the full H×(W/2+1) spectrum.
+    """
+    B, H, W, Cin = x.shape
+    wf = W // 2 + 1
+    m1 = min(modes1, H // 2)
+    m2 = min(modes2, wf)
+    E1r, E1i, E2r, E2i, Ar, Ai, Br, Bi = _dft_factors(H, W, m1, m2)
+
+    # Row transform: contract h. (2m1, H) x (B, H, W, C) -> (B, 2m1, W, C)
+    t_r = jnp.einsum("kh,bhwc->bkwc", E1r, x)
+    t_i = jnp.einsum("kh,bhwc->bkwc", E1i, x)
+    # Column transform: contract w -> (B, 2m1, m2, C)
+    X_r = jnp.einsum("mw,bkwc->bkmc", E2r, t_r) - jnp.einsum(
+        "mw,bkwc->bkmc", E2i, t_i
+    )
+    X_i = jnp.einsum("mw,bkwc->bkmc", E2r, t_i) + jnp.einsum(
+        "mw,bkwc->bkmc", E2i, t_r
+    )
+
+    # Per-mode channel mixing; corner 0 = rows [:m1], corner 1 = rows
+    # [-m1:] of the half spectrum, each with its own weights.
+    Wr = jnp.concatenate(
+        [weights[0, 0, :, :, :m1, :m2], weights[1, 0, :, :, :m1, :m2]],
+        axis=2,
+    )  # (Cin, Cout, 2m1, m2)
+    Wi = jnp.concatenate(
+        [weights[0, 1, :, :, :m1, :m2], weights[1, 1, :, :, :m1, :m2]],
+        axis=2,
+    )
+    Y_r = jnp.einsum("bkmi,iokm->bkmo", X_r, Wr) - jnp.einsum(
+        "bkmi,iokm->bkmo", X_i, Wi
+    )
+    Y_i = jnp.einsum("bkmi,iokm->bkmo", X_r, Wi) + jnp.einsum(
+        "bkmi,iokm->bkmo", X_i, Wr
+    )
+
+    # Inverse: rows then columns, keeping the real part.
+    Z_r = jnp.einsum("hk,bkmo->bhmo", Ar, Y_r) - jnp.einsum(
+        "hk,bkmo->bhmo", Ai, Y_i
+    )
+    Z_i = jnp.einsum("hk,bkmo->bhmo", Ar, Y_i) + jnp.einsum(
+        "hk,bkmo->bhmo", Ai, Y_r
+    )
+    y = jnp.einsum("wm,bhmo->bhwo", Br, Z_r) - jnp.einsum(
+        "wm,bhmo->bhwo", Bi, Z_i
+    )
+    return y
+
+
+def spectral_conv2d_fft(
     x: jnp.ndarray,  # (B, H, W, Cin) float32
     weights: jnp.ndarray,  # (2, 2, Cin, Cout, m1, m2): [corner, re/im, ...]
     modes1: int,
     modes2: int,
 ) -> jnp.ndarray:
-    """Returns (B, H, W, Cout) float32."""
+    """XLA-FFT implementation. Returns (B, H, W, Cout) float32.
+
+    Numerically equivalent to the matmul path (unit-tested); kept for
+    platforms with fast FFT and as the semantic reference.
+    """
     B, H, W, Cin = x.shape
     Cout = weights.shape[3]
     wf = W // 2 + 1
@@ -60,6 +159,18 @@ def spectral_conv2d(
     out_ft = jnp.concatenate([top_band, mid, bot_band], axis=1)
 
     return jnp.fft.irfft2(out_ft, s=(H, W), axes=(1, 2))
+
+
+# Default backend: "matmul" is the TPU-native path (MXU-bound, no FFT
+# op); "fft" is the semantic reference. Both are numerically equivalent.
+SPECTRAL_BACKEND = "matmul"
+
+
+def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
+    b = backend or SPECTRAL_BACKEND
+    if b == "matmul":
+        return spectral_conv2d_matmul(x, weights, modes1, modes2)
+    return spectral_conv2d_fft(x, weights, modes1, modes2)
 
 
 def init_spectral_weights(key, in_ch: int, out_ch: int, m1: int, m2: int):

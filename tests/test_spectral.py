@@ -1,0 +1,72 @@
+"""Spectral conv: matmul backend ≡ FFT backend ≡ torch-style reference
+formula (on CPU, where all FFT conventions are pocketfft)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfdbench_tpu.ops.spectral import (
+    init_spectral_weights,
+    spectral_conv2d_fft,
+    spectral_conv2d_matmul,
+)
+
+
+def _np_reference(x_nhwc, weights, m1, m2):
+    """Reference semantics from the published FNO formulation
+    (rfft2 → two-corner truncated complex mixing → irfft2), computed
+    with numpy in NCHW like the original torch code."""
+    x = np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))  # (B, C, H, W)
+    B, C, H, W = x.shape
+    w_c = np.asarray(weights[:, 0] + 1j * weights[:, 1])  # (2,Ci,Co,m1,m2)
+    Cout = w_c.shape[2]
+    x_ft = np.fft.rfft2(x)
+    out_ft = np.zeros((B, Cout, H, W // 2 + 1), dtype=complex)
+    out_ft[:, :, :m1, :m2] = np.einsum(
+        "bixy,ioxy->boxy", x_ft[:, :, :m1, :m2], w_c[0]
+    )
+    out_ft[:, :, -m1:, :m2] = np.einsum(
+        "bixy,ioxy->boxy", x_ft[:, :, -m1:, :m2], w_c[1]
+    )
+    y = np.fft.irfft2(out_ft, s=(H, W))
+    return np.transpose(y, (0, 2, 3, 1))
+
+
+def test_matmul_equals_fft_and_reference(rng):
+    B, H, W, Ci, Co, m1, m2 = 2, 16, 16, 3, 5, 4, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, Ci)), jnp.float32)
+    w = init_spectral_weights(jax.random.PRNGKey(1), Ci, Co, m1, m2)
+
+    y_fft = spectral_conv2d_fft(x, w, m1, m2)
+    y_mm = spectral_conv2d_matmul(x, w, m1, m2)
+    y_ref = _np_reference(x, np.asarray(w), m1, m2)
+
+    np.testing.assert_allclose(np.asarray(y_fft), y_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_mm), y_ref, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(y_mm), np.asarray(y_fft), atol=2e-5
+    )
+
+
+def test_matmul_equals_fft_64x64_modes12(rng):
+    """Production config: 64×64, 12 modes."""
+    B, H, W, C = 2, 64, 64, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = init_spectral_weights(jax.random.PRNGKey(2), C, C, 12, 12)
+    y_fft = spectral_conv2d_fft(x, w, 12, 12)
+    y_mm = spectral_conv2d_matmul(x, w, 12, 12)
+    np.testing.assert_allclose(
+        np.asarray(y_mm), np.asarray(y_fft), atol=5e-5
+    )
+
+
+def test_gradients_match(rng):
+    B, H, W, C = 2, 16, 16, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = init_spectral_weights(jax.random.PRNGKey(3), C, C, 4, 4)
+
+    g_fft = jax.grad(lambda w: spectral_conv2d_fft(x, w, 4, 4).sum())(w)
+    g_mm = jax.grad(lambda w: spectral_conv2d_matmul(x, w, 4, 4).sum())(w)
+    np.testing.assert_allclose(
+        np.asarray(g_mm), np.asarray(g_fft), atol=2e-4
+    )
