@@ -37,8 +37,8 @@ def _setup(n_cases=16, h=64, w=64):
     frame0 = jnp.asarray(rng.standard_normal((n_cases, h, w, 2)), jnp.float32)
     case_params = jnp.asarray(rng.standard_normal((n_cases, 5)), jnp.float32)
     mask = jnp.ones((n_cases, h, w, 1), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), frame0, case_params, mask)
-    return task, params, frame0, case_params, mask
+    variables = model.init(jax.random.PRNGKey(0), frame0, case_params, mask)
+    return task, variables["params"], frame0, case_params, mask
 
 
 def bench_scan_rollout(task, params, frame0, case_params, mask, steps=20,

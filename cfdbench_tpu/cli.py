@@ -87,12 +87,14 @@ def main_auto(argv=None) -> None:
             case_params=test_data.case_params[:1],
         )
         template = task.init_params(jax.random.PRNGKey(0), sample)
-        params = load_best_params(template, output_dir)
+        variables = dict(load_best_params(template, output_dir))
+        params = variables.pop("params")
         trainer_auto.test(
             task,
             params,
             test_data,
             output_dir / "test",
+            model_state=variables,
             batch_size=1,
             plot_interval=10,
             mesh=mesh,
@@ -150,11 +152,14 @@ def main_multistep(argv=None) -> None:
         case_params=case_params[:1],
     )
     template = task.init_params(jax.random.PRNGKey(0), sample)
-    params = load_best_params(template, output_dir)
+    variables = dict(load_best_params(template, output_dir))
+    params = variables.pop("params")
 
     fb = task.feedback_channels
     rollout = make_rollout_fn(
-        task.predict_frame,
+        lambda p, f, cp, m: task.predict_frame(
+            p, f, cp, m, model_state=variables
+        ),
         steps=infer_steps,
         include_initial=(args.model == "resnet"),
     )

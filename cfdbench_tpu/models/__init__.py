@@ -77,7 +77,7 @@ def init_auto_model(args: Args, n_case_params: int = None, field_shape=None):
             padding=args.resnet_padding,
         )
     if args.model == "auto_ffn":
-        from .auto_ffn import AutoFfn
+        from .point import AutoFfn
 
         return AutoFfn(
             input_field_dim=n_rows * n_cols,
@@ -86,7 +86,7 @@ def init_auto_model(args: Args, n_case_params: int = None, field_shape=None):
             depth=args.autoffn_depth,
         )
     if args.model == "auto_deeponet":
-        from .auto_deeponet import AutoDeepONet
+        from .point import AutoDeepONet
 
         return AutoDeepONet(
             branch_dim=n_rows * n_cols + p,
@@ -96,7 +96,7 @@ def init_auto_model(args: Args, n_case_params: int = None, field_shape=None):
             act_name=args.act_fn,
         )
     if args.model == "auto_edeeponet":
-        from .auto_edeeponet import AutoEDeepONet
+        from .point import AutoEDeepONet
 
         return AutoEDeepONet(
             dim_branch1=n_rows * n_cols,
@@ -107,7 +107,7 @@ def init_auto_model(args: Args, n_case_params: int = None, field_shape=None):
             act_name=args.autoedeeponet_act_fn,
         )
     if args.model == "auto_deeponet_cnn":
-        from .auto_deeponet_cnn import AutoDeepONetCnn
+        from .point import AutoDeepONetCnn
 
         return AutoDeepONetCnn(
             in_chan=args.in_chan,

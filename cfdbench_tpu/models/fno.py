@@ -80,7 +80,8 @@ class Fno2d(nn.Module):
     pointwise = False
 
     @nn.compact
-    def __call__(self, inputs, case_params, mask=None):
+    def __call__(self, inputs, case_params, mask=None, train: bool = False):
+        del train  # no BatchNorm/Dropout in FNO
         B, H, W, _ = inputs.shape
         mask = ensure_mask(mask, B, H, W)
         x = jnp.concatenate(

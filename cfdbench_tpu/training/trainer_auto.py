@@ -32,7 +32,8 @@ from . import checkpoints
 
 
 class TrainState(NamedTuple):
-    params: Any
+    params: Any       # trainable variables
+    model_state: Any  # non-trainable collections (e.g. BatchNorm stats)
     opt_state: Any
     step: jnp.ndarray
 
@@ -53,17 +54,56 @@ class AutoTask:
         self.loss_fn = loss_fn
         self.pointwise = getattr(model, "pointwise", False)
 
-    def init_params(self, rng, sample_batch) -> Any:
-        return self.model.init(
-            rng,
-            sample_batch["inputs"],
-            sample_batch["case_params"],
-            sample_batch["mask"],
+    def init_variables(self, rng, sample_batch):
+        """Returns (params, model_state) where model_state holds
+        non-trainable collections (BatchNorm running stats)."""
+        variables = dict(
+            self.model.init(
+                rng,
+                sample_batch["inputs"],
+                sample_batch["case_params"],
+                sample_batch["mask"],
+            )
         )
+        params = variables.pop("params")
+        return params, variables
 
-    def loss_scores(self, params, batch):
-        preds = self.model.apply(
-            params, batch["inputs"], batch["case_params"], batch["mask"]
+    # Back-compat convenience: full variables dict for apply().
+    def init_params(self, rng, sample_batch) -> Any:
+        params, model_state = self.init_variables(rng, sample_batch)
+        return {"params": params, **model_state}
+
+    def _forward(self, params, model_state, batch, train, rng):
+        variables = {"params": params, **model_state}
+        kwargs = {}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if train:
+            preds, new_state = self.model.apply(
+                variables,
+                batch["inputs"],
+                batch["case_params"],
+                batch["mask"],
+                train=True,
+                mutable=list(model_state.keys()) or ["batch_stats"],
+                **kwargs,
+            )
+        else:
+            preds = self.model.apply(
+                variables,
+                batch["inputs"],
+                batch["case_params"],
+                batch["mask"],
+                train=False,
+            )
+            new_state = model_state
+        return preds, dict(new_state)
+
+    def loss_scores(
+        self, params, batch, model_state=None, train=False, rng=None
+    ):
+        preds, new_state = self._forward(
+            params, model_state or {}, batch, train, rng
         )
         w = batch.get("weights")
         if self.pointwise:
@@ -72,11 +112,17 @@ class AutoTask:
         else:
             labels = batch["labels"] * batch["mask"]
         scores = self.loss_fn(preds, labels, sample_weights=w)
-        return scores[self.loss_fn.objective], scores
+        return scores[self.loss_fn.objective], (scores, new_state)
 
-    def predict_frame(self, params, inputs, case_params, mask):
-        """Full-field next-frame prediction (for rollout / generate)."""
-        preds = self.model.apply(params, inputs, case_params, mask)
+    def predict_frame(
+        self, params, inputs, case_params, mask, model_state=None
+    ):
+        """Full-field next-frame prediction (for rollout / generate).
+        Eval mode (running BN stats, no dropout)."""
+        variables = {"params": params, **(model_state or {})}
+        preds = self.model.apply(
+            variables, inputs, case_params, mask, train=False
+        )
         if self.pointwise:
             b, h, w = inputs.shape[0], inputs.shape[1], inputs.shape[2]
             preds = preds.reshape(b, h, w, 1)
@@ -90,22 +136,38 @@ class AutoTask:
         return 1 if self.pointwise else self.model.out_chan
 
 
-def make_train_step(task: AutoTask, tx: optax.GradientTransformation):
-    def train_step(state: TrainState, batch):
-        def lf(params):
-            return task.loss_scores(params, batch)
+def make_train_step(
+    task: AutoTask, tx: optax.GradientTransformation, seed: int = 0
+):
+    base_rng = jax.random.PRNGKey(seed)
 
-        grads, scores = jax.grad(lf, has_aux=True)(state.params)
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def lf(params):
+            return task.loss_scores(
+                params, batch, model_state=state.model_state,
+                train=True, rng=rng,
+            )
+
+        grads, (scores, model_state) = jax.grad(lf, has_aux=True)(
+            state.params
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), scores
+        return (
+            TrainState(params, model_state, opt_state, state.step + 1),
+            scores,
+        )
 
     return jax.jit(train_step, donate_argnums=0)
 
 
 def make_eval_step(task: AutoTask):
-    def eval_step(params, batch):
-        _, scores = task.loss_scores(params, batch)
+    def eval_step(params, model_state, batch):
+        _, (scores, _) = task.loss_scores(
+            params, batch, model_state=model_state, train=False
+        )
         # Persistence baseline: input u as prediction of label u,
         # unmasked (src/train_auto.py:92-97).
         input_scores = task.loss_fn(
@@ -114,7 +176,11 @@ def make_eval_step(task: AutoTask):
             sample_weights=batch.get("weights"),
         )
         preds = task.predict_frame(
-            params, batch["inputs"], batch["case_params"], batch["mask"]
+            params,
+            batch["inputs"],
+            batch["case_params"],
+            batch["mask"],
+            model_state=model_state,
         )
         return scores, input_scores, preds
 
@@ -135,6 +201,7 @@ def evaluate(
     params,
     data: AutoDataset,
     output_dir: Path,
+    model_state=None,
     batch_size: int = 2,
     plot_interval: Optional[int] = None,
     eval_step=None,
@@ -161,7 +228,7 @@ def evaluate(
     ):
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding(mesh))
-        s, isc, preds = eval_step(params, batch)
+        s, isc, preds = eval_step(params, model_state or {}, batch)
         n_valid = int(batch["weights"].sum())
         for k in names:
             scores[k].append(float(s[k]))
@@ -235,13 +302,17 @@ def train(
 
     arrays = dataset_arrays(train_data)
     sample = next(iter(batches(arrays, batch_size, shuffle=False)))
-    params = task.init_params(jax.random.PRNGKey(seed), sample)
+    params, model_state = task.init_variables(
+        jax.random.PRNGKey(seed), sample
+    )
     opt_state = tx.init(params)
-    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    state = TrainState(
+        params, model_state, opt_state, jnp.zeros((), jnp.int32)
+    )
     if mesh is not None:
         state = jax.device_put(state, replicated_sharding(mesh))
 
-    train_step = make_train_step(task, tx)
+    train_step = make_train_step(task, tx, seed=seed)
     eval_step = make_eval_step(task)
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -302,6 +373,7 @@ def train(
                 state.params,
                 dev_data,
                 ckpt_dir,
+                model_state=state.model_state,
                 batch_size=eval_batch_size,
                 eval_step=eval_step,
                 mesh=mesh,
@@ -310,7 +382,9 @@ def train(
             dev_scores = result["scores"]
             dump_json(dev_scores, ckpt_dir / "dev_scores.json")
             dump_json(ep_losses, ckpt_dir / "train_loss.json")
-            checkpoints.save_params(state.params, ckpt_dir)
+            checkpoints.save_params(
+                {"params": state.params, **state.model_state}, ckpt_dir
+            )
             dev_key = "nmse" if "nmse" in dev_scores["all"] else objective
             checkpoints.save_epoch_scores(
                 ckpt_dir,
@@ -330,6 +404,7 @@ def test(
     params,
     data: AutoDataset,
     output_dir: Path,
+    model_state=None,
     batch_size: int = 1,
     plot_interval: int = 10,
     mesh=None,
@@ -344,6 +419,7 @@ def test(
         params,
         data,
         output_dir,
+        model_state=model_state,
         batch_size=batch_size,
         plot_interval=plot_interval,
         mesh=mesh,
