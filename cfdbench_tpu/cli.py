@@ -101,6 +101,74 @@ def main_auto(argv=None) -> None:
         )
 
 
+def main_train(argv=None) -> None:
+    """Non-autoregressive driver (mirror of ``src/train.py:295-350``)."""
+    from .models import init_nonauto_model
+    from .training import trainer_nonauto
+
+    args = Args.parse_args(argv)
+    print("#" * 80)
+    print(args)
+    print("#" * 80)
+
+    output_dir = get_output_dir(args, is_auto=False)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    args.save(output_dir / "args.json")
+
+    print("Loading data...")
+    train_data, dev_data, test_data = get_dataset(
+        data_name=args.data_name,
+        data_dir=Path(args.data_dir),
+        norm_props=bool(args.norm_props),
+        norm_bc=bool(args.norm_bc),
+        seed=args.seed,
+    )
+    print(f"# train examples: {len(train_data)}")
+    print(f"# dev examples: {len(dev_data)}")
+    print(f"# test examples: {len(test_data)}")
+
+    model = init_nonauto_model(args, n_case_params=train_data.n_case_params)
+    task = trainer_nonauto.NonAutoTask(model, loss_name_to_fn(args.loss_name))
+    mesh = _mesh(args)
+
+    if "train" in args.mode:
+        args.save(output_dir / "train_args.json")
+        trainer_nonauto.train(
+            task,
+            train_data=train_data,
+            dev_data=dev_data,
+            output_dir=output_dir,
+            lr=args.lr,
+            lr_step_size=args.lr_step_size,
+            lr_gamma=args.lr_gamma,
+            num_epochs=args.num_epochs,
+            batch_size=args.batch_size,
+            eval_interval=args.eval_interval,
+            log_interval=args.log_interval,
+            seed=args.seed,
+            mesh=mesh,
+            measure_time=bool(args.measure_time),
+        )
+    if "test" in args.mode:
+        args.save(output_dir / "test_args.json")
+        sample = dict(
+            case_params=test_data.case_params[:1],
+            t=test_data.frame_t[:1, None],
+        )
+        template = {
+            "params": task.init_params(jax.random.PRNGKey(0), sample)
+        }
+        params = dict(load_best_params(template, output_dir))["params"]
+        trainer_nonauto.test(
+            task,
+            params,
+            test_data,
+            output_dir / "test",
+            batch_size=1,
+            mesh=mesh,
+        )
+
+
 def main_multistep(argv=None) -> None:
     """Mirror of ``src/test_multistep.py:180-236``: 20-step rollout on
     the test split, per-step masked-u metrics averaged over cases —
@@ -137,6 +205,42 @@ def main_multistep(argv=None) -> None:
     )
     frame0 = features[:, 0, :, :, :2]
     mask = features[:, 0, :, :, 2:3]
+
+    if args.model in ("ffn", "deeponet"):
+        # Non-auto branch (``test_multistep.py:119-132``): one frame per
+        # (case, step) via generate_one — executed as a single batched
+        # call over all cases × steps.
+        from .models import init_nonauto_model
+        from .training import trainer_nonauto
+
+        C = frame0.shape[0]
+        H, W = frame0.shape[1:3]
+        model = init_nonauto_model(args, n_case_params=case_params.shape[1])
+        task = trainer_nonauto.NonAutoTask(
+            model, loss_name_to_fn(args.loss_name)
+        )
+        output_dir = get_output_dir(args, is_auto=False)
+        template = {
+            "params": task.init_params(
+                jax.random.PRNGKey(0),
+                dict(case_params=case_params[:1], t=np.zeros((1, 1))),
+            )
+        }
+        params = dict(load_best_params(template, output_dir))["params"]
+        cp_tiled = np.tile(case_params, (infer_steps, 1))
+        ts = np.repeat(
+            np.arange(infer_steps, dtype=np.float32), C
+        )[:, None]
+        preds_flat = jax.jit(
+            lambda p, cp, t: task.generate_one(p, cp, t, H, W)
+        )(params, cp_tiled, ts)
+        preds = np.asarray(preds_flat).reshape(infer_steps, C, H, W, 1)
+        metrics = multistep_metrics(preds, features, mask)
+        for m in metrics:
+            print(m)
+        dump_json(metrics, output_dir / "multistep_metrics.json")
+        plot_multistep_metrics(metrics, output_dir / "multistep_metrics.pdf")
+        return
 
     model = init_auto_model(
         args,

@@ -114,3 +114,31 @@ def init_auto_model(args: Args, n_case_params: int = None, field_shape=None):
             num_case_params=p,
         )
     raise ValueError(f"Invalid model name: {args.model}")
+
+
+def init_nonauto_model(args: Args, n_case_params: int = None):
+    """Construct a non-autoregressive model (``src/train.py:254-292``)."""
+    p = n_case_params
+    if p is None:
+        p = 8 if "cylinder" in args.data_name else 5
+    if args.model == "deeponet":
+        from .nonauto import DeepONet
+
+        return DeepONet(
+            n_case_params=p,
+            width=args.deeponet_width,
+            trunk_depth=args.trunk_depth,
+            branch_depth=args.branch_depth,
+            act_name=args.act_fn,
+            act_norm=bool(args.act_scale_invariant),
+            act_on_output=bool(args.act_on_output),
+        )
+    if args.model == "ffn":
+        from .nonauto import FfnModel
+
+        return FfnModel(
+            n_case_params=p,
+            width=args.ffn_width,
+            depth=args.ffn_depth,
+        )
+    raise ValueError(f"Invalid model name: {args.model}")
