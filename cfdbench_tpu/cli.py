@@ -22,6 +22,71 @@ def _mesh(args: Args):
     return make_mesh(args.mesh_shape)
 
 
+DIFFUSION_MODELS = ("pixel_diffusion", "latent_diffusion",
+                    "latent_diffusion2")
+
+
+def make_auto_task(args: Args, n_case_params: int, field_shape):
+    """AutoTask-compatible task for any autoregressive --model,
+    including the diffusion family."""
+    loss_fn = loss_name_to_fn(args.loss_name)
+    if args.model == "pixel_diffusion":
+        from .models.diffusion import PixelDiffusionCfdModel
+
+        return PixelDiffusionCfdModel(
+            loss_fn,
+            out_chan=args.out_chan,
+            n_case_params=n_case_params,
+            image_size=field_shape[0],
+            noise_scheduler_timesteps=args.ldm_noise_scheduler_timesteps,
+            base_channels=args.pixel_diffusion_base_channels,
+            channel_mults=tuple(args.pixel_diffusion_channel_mults),
+            num_res_blocks=args.pixel_diffusion_num_res_blocks,
+            dropout=args.pixel_diffusion_dropout,
+        )
+    if args.model in ("latent_diffusion", "latent_diffusion2"):
+        from .models.diffusion import LatentDiffusionCfdModelLite
+        from .models.vae import make_cfd_vae
+        from .training.checkpoints import load_params
+
+        vae = make_cfd_vae(
+            "lite", args.out_chan, args.out_chan, args.ldm_latent_dim
+        )
+        template = dict(
+            vae.init(
+                jax.random.PRNGKey(0),
+                jnp_zeros((1, 64, 64, args.out_chan)),
+                rng=None,
+            )
+        )
+        vae_params = dict(
+            load_params(template, Path(args.ldm_vae_weights_path))
+        )["params"]
+        return LatentDiffusionCfdModelLite(
+            loss_fn,
+            vae_params,
+            in_chan=args.in_chan,
+            out_chan=args.out_chan,
+            n_case_params=n_case_params,
+            latent_dim=args.ldm_latent_dim,
+            scaling_factor=args.ldm_scaling_factor,
+            noise_scheduler_timesteps=args.ldm_noise_scheduler_timesteps,
+            unet_base_channels=args.unet_base_channels,
+            unet_channel_mult=tuple(args.unet_channel_mult),
+            unet_num_res_blocks=args.unet_num_res_blocks,
+        )
+    model = init_auto_model(
+        args, n_case_params=n_case_params, field_shape=field_shape
+    )
+    return trainer_auto.AutoTask(model, loss_fn)
+
+
+def jnp_zeros(shape):
+    import jax.numpy as jnp
+
+    return jnp.zeros(shape, jnp.float32)
+
+
 def main_auto(argv=None) -> None:
     """Mirror of ``src/train_auto.py:316-378``."""
     args = Args.parse_args(argv)
@@ -51,10 +116,9 @@ def main_auto(argv=None) -> None:
     print(f"# dev examples: {len(dev_data) if dev_data else 0}")
     print(f"# test examples: {len(test_data) if test_data else 0}")
 
-    model = init_auto_model(
+    task = make_auto_task(
         args, n_case_params=ref.n_case_params, field_shape=ref.field_shape
     )
-    task = trainer_auto.AutoTask(model, loss_name_to_fn(args.loss_name))
     mesh = _mesh(args)
     print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
@@ -273,3 +337,132 @@ def main_multistep(argv=None) -> None:
         print(m)
     dump_json(metrics, output_dir / "multistep_metrics.json")
     plot_multistep_metrics(metrics, output_dir / "multistep_metrics.pdf")
+
+
+def main_vae(argv=None) -> None:
+    """VAE trainer driver (mirror of ``src/train_vae.py:82-276``)."""
+    from .data.vae_data import build_vae_dataset
+    from .models.vae import make_cfd_vae
+    from .training.trainer_vae import train_vae
+
+    args = Args.parse_args(argv)
+    print(args)
+    train_data, dev_data, _ = get_auto_dataset(
+        data_dir=Path(args.data_dir),
+        data_name=args.data_name,
+        delta_time=args.delta_time,
+        norm_props=bool(args.norm_props),
+        norm_bc=bool(args.norm_bc),
+        load_splits=["train", "dev"],
+        seed=args.seed,
+    )
+    vae_train = build_vae_dataset(train_data)
+    vae_dev = build_vae_dataset(dev_data)
+    print(f"# train frames: {len(vae_train)}, dev frames: {len(vae_dev)}")
+    vae = make_cfd_vae("lite", 2, 2, args.ldm_latent_dim)
+    output_dir = Path(args.output_dir) / "vae" / args.data_name
+    train_vae(
+        vae,
+        vae_train,
+        vae_dev,
+        output_dir=output_dir,
+        weights_path=Path(args.ldm_vae_weights_path),
+        num_epochs=args.num_epochs,
+        lr=args.lr,
+        weight_decay=args.vae_weight_decay,
+        batch_size=args.batch_size,
+        kl_weight=args.vae_kl_weight,
+        kl_annealing_epochs=(
+            args.vae_kl_annealing_epochs
+            if "anneal" in args.mode
+            else 0
+        ),
+        lr_factor=args.lr_scheduler_factor,
+        lr_patience=args.lr_scheduler_patience,
+        early_stopping_patience=args.early_stopping_patience,
+        early_stopping_delta=args.early_stopping_delta,
+        seed=args.seed,
+    )
+
+
+def main_gencast(argv=None) -> None:
+    """GenCast trainer driver (mirror of ``src/train_gencast.py``).
+
+    Deviation: the reference hard-requires a precomputed
+    ``residual_stats.pt`` (``train_gencast.py:513-520``); here the
+    stats are computed automatically from the train split when the file
+    is missing (same two-pass math), then cached.
+    """
+    from .data.wrapper import (
+        compute_residual_stats,
+        load_residual_stats,
+        save_residual_stats,
+        wrap_gencast,
+    )
+    from .models.diffusion import GenCastCfdModel
+    from .training.trainer_gencast import train_gencast
+
+    args = Args.parse_args(argv)
+    print(args)
+    train_data, dev_data, _ = get_auto_dataset(
+        data_dir=Path(args.data_dir),
+        data_name=args.data_name,
+        delta_time=args.delta_time,
+        norm_props=bool(args.norm_props),
+        norm_bc=bool(args.norm_bc),
+        load_splits=["train", "dev"],
+        seed=args.seed,
+    )
+    gc_train = wrap_gencast(train_data)
+    gc_dev = wrap_gencast(dev_data)
+    print(f"# train triples: {len(gc_train)}, dev: {len(gc_dev)}")
+
+    output_dir = get_output_dir(
+        dataclasses_replace(args, model="gencast"), is_auto=True
+    )
+    stats_path = output_dir / "residual_stats.npz"
+    if stats_path.exists():
+        stats = load_residual_stats(stats_path)
+    else:
+        stats = compute_residual_stats(gc_train)
+        save_residual_stats(stats, stats_path)
+        print(f"Residual stats computed and cached at {stats_path}")
+    print(
+        f"residual mean={stats['residual_mean']}, "
+        f"std={stats['residual_std']}"
+    )
+
+    task = GenCastCfdModel(
+        loss_name_to_fn(args.loss_name),
+        residual_mean=stats["residual_mean"],
+        residual_std=stats["residual_std"],
+        in_chan=args.in_chan,
+        out_chan=args.out_chan,
+        n_case_params=gc_train.n_case_params,
+        noise_scheduler_timesteps=args.ldm_noise_scheduler_timesteps,
+        base_channels=args.pixel_diffusion_base_channels,
+        channel_mults=tuple(args.pixel_diffusion_channel_mults),
+        num_res_blocks=args.pixel_diffusion_num_res_blocks,
+        dropout=args.pixel_diffusion_dropout,
+    )
+    train_gencast(
+        task,
+        gc_train,
+        gc_dev,
+        output_dir=output_dir,
+        num_epochs=args.num_epochs,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size,
+        eval_interval=args.eval_interval,
+        log_interval=args.log_interval,
+        weight_decay=args.weight_decay,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        seed=args.seed,
+    )
+
+
+def dataclasses_replace(args, **kw):
+    import dataclasses
+
+    return dataclasses.replace(args, **kw)

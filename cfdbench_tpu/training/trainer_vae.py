@@ -1,0 +1,189 @@
+"""VAE trainer (mirror of ``src/train_vae.py`` /
+``train_vae_kl_annealing.py``).
+
+Loop shape: recon MSE + kl_weight · posterior.kl().mean(); training
+samples the posterior, validation uses its mean; ReduceLROnPlateau on
+val loss; early stopping (patience/delta); best weights saved to
+``ldm_vae_weights_path``; loss-history JSON + plots. Optional linear
+KL-weight annealing over ``vae_kl_annealing_epochs``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pipeline import batches
+from ..data.vae_data import VaeDataset
+from ..models.vae import AutoencoderKL
+from ..utils.artifacts import dump_json, plot_loss
+from . import checkpoints
+
+
+class VaeState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_steps(vae: AutoencoderKL, tx, seed: int):
+    base_rng = jax.random.PRNGKey(seed + 31337)
+
+    def loss_parts(params, frames, kl_weight, rng):
+        recon, posterior = vae.apply(
+            {"params": params}, frames, rng=rng, train=True
+        )
+        recon_loss = jnp.mean(jnp.square(recon - frames))
+        kl_loss = jnp.mean(posterior.kl())
+        return recon_loss + kl_weight * kl_loss, (recon_loss, kl_loss)
+
+    @jax.jit
+    def train_step(state: VaeState, frames, kl_weight):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def lf(params):
+            return loss_parts(params, frames, kl_weight, rng)
+
+        (loss, (recon, kl)), grads = jax.value_and_grad(
+            lf, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            VaeState(params, opt_state, state.step + 1),
+            dict(total=loss, recon=recon, kl=kl),
+        )
+
+    @jax.jit
+    def eval_step(params, frames, kl_weight):
+        recon, posterior = vae.apply(
+            {"params": params}, frames, rng=None, train=False
+        )  # mean latent, like the reference's validation pass
+        recon_loss = jnp.mean(jnp.square(recon - frames))
+        kl_loss = jnp.mean(posterior.kl())
+        return dict(
+            total=recon_loss + kl_weight * kl_loss,
+            recon=recon_loss,
+            kl=kl_loss,
+        )
+
+    return train_step, eval_step
+
+
+def train_vae(
+    vae: AutoencoderKL,
+    train_data: VaeDataset,
+    dev_data: VaeDataset,
+    output_dir: Path,
+    weights_path: Path,
+    num_epochs: int = 100,
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
+    batch_size: int = 8,
+    kl_weight: float = 1e-4,
+    kl_annealing_epochs: int = 0,
+    lr_factor: float = 0.5,
+    lr_patience: int = 5,
+    early_stopping_patience: int = 20,
+    early_stopping_delta: float = 1e-5,
+    seed: int = 0,
+) -> Any:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    if weight_decay > 0:
+        inner = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=weight_decay
+        )
+    else:
+        inner = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    tx = inner
+
+    sample = jnp.asarray(train_data.frames[:2])
+    params = dict(
+        vae.init(jax.random.PRNGKey(seed), sample, rng=None)
+    )["params"]
+    state = VaeState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    train_step, eval_step = make_steps(vae, tx, seed)
+
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"VAE has {n_params} parameters")
+
+    history = {
+        "train_total": [], "train_recon": [], "train_kl": [],
+        "val_total": [], "val_recon": [], "val_kl": [], "val_steps": [],
+    }
+    best_val = np.inf
+    best_params = params
+    patience = 0
+    plateau = 0
+    cur_lr = lr
+    start = time.time()
+    global_step = 0
+
+    for ep in range(num_epochs):
+        if kl_annealing_epochs > 0:
+            w = kl_weight * min(1.0, (ep + 1) / kl_annealing_epochs)
+        else:
+            w = kl_weight
+        rng = np.random.default_rng(seed * 7919 + ep)
+        for batch in batches(
+            dict(frames=train_data.frames), batch_size, shuffle=True,
+            rng=rng,
+        ):
+            state, losses = train_step(
+                state, jnp.asarray(batch["frames"]), w
+            )
+            for k in ("total", "recon", "kl"):
+                history[f"train_{k}"].append(float(losses[k]))
+            global_step += 1
+
+        # validation (mean latent)
+        vals = {"total": [], "recon": [], "kl": []}
+        for batch in batches(
+            dict(frames=dev_data.frames), batch_size, shuffle=False
+        ):
+            losses = eval_step(state.params, jnp.asarray(batch["frames"]), w)
+            for k in vals:
+                vals[k].append(float(losses[k]))
+        val_total = float(np.mean(vals["total"]))
+        for k in vals:
+            history[f"val_{k}"].append(float(np.mean(vals[k])))
+        history["val_steps"].append(global_step)
+        print(
+            f"ep {ep}: val_total={val_total:.6f} "
+            f"val_recon={np.mean(vals['recon']):.6f} "
+            f"val_kl={np.mean(vals['kl']):.4f} lr={cur_lr:.2e} "
+            f"kl_w={w:.2e} time={time.time() - start:.0f}s"
+        )
+
+        if val_total < best_val - early_stopping_delta:
+            best_val = val_total
+            best_params = jax.device_get(state.params)
+            patience = 0
+            plateau = 0
+            checkpoints.save_params({"params": best_params}, weights_path)
+            print(f"  new best; weights saved to {weights_path}")
+        else:
+            patience += 1
+            plateau += 1
+            if plateau > lr_patience:
+                cur_lr *= lr_factor
+                state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    cur_lr
+                )
+                plateau = 0
+                print(f"  plateau: lr reduced to {cur_lr:.2e}")
+            if patience > early_stopping_patience:
+                print("Early stopping.")
+                break
+
+    dump_json(history, output_dir / "loss_history.json")
+    plot_loss(history["train_total"], output_dir / "train_loss.png")
+    plot_loss(history["val_total"], output_dir / "val_loss.png")
+    return best_params
