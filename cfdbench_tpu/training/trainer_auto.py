@@ -305,12 +305,24 @@ def train(
     params, model_state = task.init_variables(
         jax.random.PRNGKey(seed), sample
     )
+    if mesh is not None:
+        # TP: large weight matrices sharded over the model axis (no-op
+        # on a 1-wide model axis); optimizer state inherits shardings.
+        from ..parallel.sharding_rules import shard_params
+
+        params = shard_params(params, mesh)
+        model_state = jax.device_put(
+            model_state, replicated_sharding(mesh)
+        )
     opt_state = tx.init(params)
     state = TrainState(
-        params, model_state, opt_state, jnp.zeros((), jnp.int32)
+        params, model_state, opt_state,
+        jnp.zeros((), jnp.int32)
     )
     if mesh is not None:
-        state = jax.device_put(state, replicated_sharding(mesh))
+        state = state._replace(
+            step=jax.device_put(state.step, replicated_sharding(mesh))
+        )
 
     train_step = make_train_step(task, tx, seed=seed)
     eval_step = make_eval_step(task)

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Per-channel mean/std of a dataset's label frames (mirror of
+``scripts/utils/get_stats.py:17-33``) — the source of the hardcoded
+``VaeDataset`` normalization constants.
+
+Usage: python scripts/get_stats.py --data_name cavity_prop_bc_geo \
+    --data_dir <root>
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np  # noqa: E402
+
+from cfdbench_tpu.config import Args  # noqa: E402
+from cfdbench_tpu.data import get_auto_dataset  # noqa: E402
+
+
+def main():
+    args = Args.parse_args()
+    train, _, _ = get_auto_dataset(
+        data_dir=Path(args.data_dir),
+        data_name=args.data_name,
+        delta_time=args.delta_time,
+        norm_props=bool(args.norm_props),
+        norm_bc=bool(args.norm_bc),
+        load_splits=["train"],
+        seed=args.seed,
+    )
+    labels = train.labels  # (N, H, W, 2)
+    mean = labels.mean(axis=(0, 1, 2))
+    std = labels.std(axis=(0, 1, 2))
+    print(f"dataset: {args.data_name}")
+    print(f"# frames: {labels.shape[0]}")
+    print(f"channel mean (u, v): {np.round(mean, 4).tolist()}")
+    print(f"channel std  (u, v): {np.round(std, 4).tolist()}")
+
+
+if __name__ == "__main__":
+    main()
