@@ -41,42 +41,62 @@ def _setup(n_cases=16, h=64, w=64):
     return task, variables["params"], frame0, case_params, mask
 
 
-def bench_scan_rollout(task, params, frame0, case_params, mask, steps=20,
-                       iters=10):
+def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
+    """Median wall time of a `steps`-step rollout, forcing completion
+    via a device-side reduction pulled to host (block_until_ready is
+    unreliable on the tunneled backend)."""
     from cfdbench_tpu.training.rollout import make_rollout_fn
 
-    rollout = make_rollout_fn(task.predict_frame, steps=steps)
-    jax.block_until_ready(rollout(params, frame0, case_params, mask))  # warmup
-    t0 = time.perf_counter()
+    r = make_rollout_fn(task.predict_frame, steps=steps)
+    sink = jax.jit(lambda *a: r(*a).sum())
+    float(sink(params, frame0, case_params, mask))  # warmup/compile
+    times = []
     for _ in range(iters):
-        out = rollout(params, frame0, case_params, mask)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return frame0.shape[0] * steps / dt  # frames/sec
+        t0 = time.perf_counter()
+        float(sink(params, frame0, case_params, mask))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
-def bench_reference_style(task, params, frame0, case_params, mask, steps=20,
-                          iters=3):
-    """Reference execution structure: per-case loop, batch 1, one
-    dispatch per step."""
-    step_fn = jax.jit(task.predict_frame)
-    n_cases = frame0.shape[0]
-    # warmup compile at batch 1
-    jax.block_until_ready(
-        step_fn(params, frame0[:1], case_params[:1], mask[:1])
+def bench_scan_rollout(task, params, frame0, case_params, mask, steps=20):
+    """Sustained frames/sec via the slope method: marginal cost per
+    rollout step, cancelling fixed host-sync overhead (which on this
+    dev setup is a ~28 ms tunnel round trip, not a TPU property)."""
+    t_long = _timed_scan(task, params, frame0, case_params, mask, 4 * steps)
+    t_short = _timed_scan(task, params, frame0, case_params, mask, steps)
+    marginal = (t_long - t_short) / (3 * steps)
+    return frame0.shape[0] / marginal  # frames/sec
+
+
+def _timed_reference(task, params, frame0, case_params, mask, steps):
+    """Reference execution structure: per-case Python loop, batch 1,
+    one device dispatch per step; completion forced per case chain."""
+    step_fn = jax.jit(
+        lambda p, f, cp, m: task.predict_frame(p, f, cp, m)
     )
+    n_cases = frame0.shape[0]
+    cur = step_fn(params, frame0[:1], case_params[:1], mask[:1])
+    float(cur.sum())  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        for c in range(n_cases):
-            cur = frame0[c: c + 1]
-            preds = []
-            for _ in range(steps):
-                cur = step_fn(params, cur, case_params[c: c + 1],
-                              mask[c: c + 1])
-                preds.append(cur)
-            jax.block_until_ready(cur)
-    dt = (time.perf_counter() - t0) / iters
-    return n_cases * steps / dt
+    for c in range(n_cases):
+        cur = frame0[c: c + 1]
+        for _ in range(steps):
+            cur = step_fn(params, cur, case_params[c: c + 1],
+                          mask[c: c + 1])
+        float(cur.sum())
+    return time.perf_counter() - t0
+
+
+def bench_reference_style(task, params, frame0, case_params, mask,
+                          steps=20):
+    """Slope method, same as the scan path, so both sides exclude the
+    fixed per-sync tunnel latency."""
+    t_long = _timed_reference(task, params, frame0, case_params, mask,
+                              4 * steps)
+    t_short = _timed_reference(task, params, frame0, case_params, mask,
+                               steps)
+    marginal = (t_long - t_short) / (3 * steps * frame0.shape[0])
+    return 1.0 / marginal
 
 
 def main():

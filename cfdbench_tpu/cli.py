@@ -22,6 +22,20 @@ def _mesh(args: Args):
     return make_mesh(args.mesh_shape)
 
 
+def _apply_runtime_flags(args: Args):
+    """Precision + profiling knobs (the reference's measure_time prints
+    ms/step; jax.profiler traces are the TPU-native upgrade)."""
+    if args.matmul_precision != "default":
+        jax.config.update(
+            "jax_default_matmul_precision", args.matmul_precision
+        )
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
+
+
 DIFFUSION_MODELS = ("pixel_diffusion", "latent_diffusion",
                     "latent_diffusion2")
 
@@ -90,6 +104,7 @@ def jnp_zeros(shape):
 def main_auto(argv=None) -> None:
     """Mirror of ``src/train_auto.py:316-378``."""
     args = Args.parse_args(argv)
+    _apply_runtime_flags(args)
     print("#" * 80)
     print(args)
     print("#" * 80)
@@ -110,6 +125,7 @@ def main_auto(argv=None) -> None:
         norm_bc=bool(args.norm_bc),
         load_splits=splits,
         seed=args.seed,
+        cache_dir=args.cache_dir or None,
     )
     ref = train_data if train_data is not None else test_data
     print(f"# train examples: {len(train_data) if train_data else 0}")
@@ -171,6 +187,7 @@ def main_train(argv=None) -> None:
     from .training import trainer_nonauto
 
     args = Args.parse_args(argv)
+    _apply_runtime_flags(args)
     print("#" * 80)
     print(args)
     print("#" * 80)
@@ -245,6 +262,7 @@ def main_multistep(argv=None) -> None:
     from .utils.artifacts import plot_multistep_metrics
 
     args = Args.parse_args(argv)
+    _apply_runtime_flags(args)
     print(args)
 
     _, _, test_data = get_auto_dataset(
@@ -255,6 +273,7 @@ def main_multistep(argv=None) -> None:
         norm_bc=bool(args.norm_bc),
         load_splits=["test"],
         seed=args.seed,
+        cache_dir=args.cache_dir or None,
     )
     infer_steps = 20
     features = pad_case_features(test_data.all_features, infer_steps)

@@ -57,6 +57,10 @@ class Args:
     delta_time: float = 0.1
     norm_props: int = 1
     norm_bc: int = 1
+    cache_dir: str = ""
+    """If set, cache preprocessed dataset arrays here (npz), keyed by
+    the full preprocessing config (reference caches cylinder only,
+    ``src/dataset/cylinder.py:477-541``)."""
 
     # --- 4. model selection ---
     model: str = "fno"
@@ -129,6 +133,12 @@ class Args:
     # --- 7. TPU / parallelism (new; no reference equivalent) ---
     mesh_shape: str = "auto"  # "auto" | "N" | "NdxM" e.g. "4x2" (data x model)
     measure_time: int = 0
+    matmul_precision: str = "default"
+    """XLA matmul precision: 'default' (bf16 multiplies, f32 accumulate
+    — fastest on TPU), 'high', or 'highest' (full f32, for numerical
+    parity runs against the fp32 reference)."""
+    profile_dir: str = ""
+    """If set, write a jax.profiler trace of the training loop here."""
 
     # ------------------------------------------------------------------
     def save(self, path) -> None:

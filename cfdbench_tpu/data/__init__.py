@@ -60,6 +60,7 @@ def get_auto_dataset(
     load_splits: List[str] = ["train", "dev", "test"],
     seed: int = 0,
     stable_state_diff: float = 0.001,
+    cache_dir=None,
 ) -> Tuple[
     Optional[AutoDataset], Optional[AutoDataset], Optional[AutoDataset]
 ]:
@@ -85,6 +86,7 @@ def get_auto_dataset(
                     norm_bc=norm_bc,
                     delta_time=delta_time,
                     stable_state_diff=stable_state_diff,
+                    cache_dir=cache_dir,
                 )
             )
         else:

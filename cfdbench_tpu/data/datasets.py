@@ -117,7 +117,65 @@ def build_auto_dataset(
     norm_bc: bool,
     delta_time: float = 0.1,
     stable_state_diff: float = 0.001,
+    cache_dir: Optional[Path] = None,
 ) -> AutoDataset:
+    """``cache_dir``: optional directory for a preprocessed-array cache
+    (npz). The reference caches cylinder's preprocessed tensors to disk
+    (``src/dataset/cylinder.py:477-541``); here caching works for every
+    problem and is keyed by the full preprocessing config + case list,
+    so a stale cache can never be served.
+    """
+    if cache_dir is not None:
+        import hashlib
+
+        key = hashlib.sha1(
+            repr(
+                (
+                    problem,
+                    sorted(str(d) for d in case_dirs),
+                    norm_props,
+                    norm_bc,
+                    delta_time,
+                    stable_state_diff,
+                )
+            ).encode()
+        ).hexdigest()[:16]
+        cache_file = Path(cache_dir) / f"{problem}-{key}.npz"
+        if cache_file.exists():
+            with np.load(cache_file, allow_pickle=True) as z:
+                n_cases = int(z["n_cases"])
+                return AutoDataset(
+                    inputs=z["inputs"],
+                    labels=z["labels"],
+                    masks=z["masks"],
+                    case_params=z["case_params"],
+                    case_ids=z["case_ids"],
+                    all_features=[
+                        z[f"features_{i}"] for i in range(n_cases)
+                    ],
+                    case_params_list=list(z["case_params_list"]),
+                )
+        ds = build_auto_dataset(
+            problem, case_dirs, norm_props, norm_bc,
+            delta_time=delta_time, stable_state_diff=stable_state_diff,
+        )
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            cache_file,
+            inputs=ds.inputs,
+            labels=ds.labels,
+            masks=ds.masks,
+            case_params=ds.case_params,
+            case_ids=ds.case_ids,
+            n_cases=len(ds.all_features),
+            case_params_list=np.asarray(ds.case_params_list, dtype=object),
+            **{
+                f"features_{i}": f
+                for i, f in enumerate(ds.all_features)
+            },
+        )
+        return ds
+
     assert len(case_dirs) > 0, (
         f"{problem}: split has 0 cases — too few cases for an 80/10/10 "
         "case-level split; add cases or merge subsets"

@@ -47,7 +47,10 @@ def _dft_factors(H: int, W: int, m1: int, m2: int):
     A = np.exp(2j * np.pi * np.outer(h, k1) / H) / H  # (H, 2m1)
     alpha = np.where(k2 == 0, 1.0, 2.0)
     B = alpha * np.exp(2j * np.pi * np.outer(w, k2) / W) / W  # (W, m2)
-    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    # Return host numpy (not device arrays): this function is lru_cached
+    # and may first run inside a jit trace — numpy constants are always
+    # safe to cache and are folded into the compiled program.
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
     return (
         f32(E1.real), f32(E1.imag),
         f32(E2.real), f32(E2.imag),
@@ -61,6 +64,7 @@ def spectral_conv2d_matmul(
     weights: jnp.ndarray,  # (2, 2, Cin, Cout, m1, m2)
     modes1: int,
     modes2: int,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """FFT-free spectral conv: project onto the retained Fourier modes
     with dense DFT matmuls (MXU-friendly), mix channels per mode,
@@ -73,7 +77,13 @@ def spectral_conv2d_matmul(
     wf = W // 2 + 1
     m1 = min(modes1, H // 2)
     m2 = min(modes2, wf)
-    E1r, E1i, E2r, E2i, Ar, Ai, Br, Bi = _dft_factors(H, W, m1, m2)
+    factors = _dft_factors(H, W, m1, m2)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+        factors = tuple(f.astype(compute_dtype) for f in factors)
+    E1r, E1i, E2r, E2i, Ar, Ai, Br, Bi = factors
 
     # Row transform: contract h. (2m1, H) x (B, H, W, C) -> (B, 2m1, W, C)
     t_r = jnp.einsum("kh,bhwc->bkwc", E1r, x)
@@ -113,7 +123,7 @@ def spectral_conv2d_matmul(
     y = jnp.einsum("wm,bhmo->bhwo", Br, Z_r) - jnp.einsum(
         "wm,bhmo->bhwo", Bi, Z_i
     )
-    return y
+    return y.astype(out_dtype)
 
 
 def spectral_conv2d_fft(
@@ -161,13 +171,93 @@ def spectral_conv2d_fft(
     return jnp.fft.irfft2(out_ft, s=(H, W), axes=(1, 2))
 
 
+@lru_cache(maxsize=None)
+def _dft_factors_packed(H: int, W: int, m1: int, m2: int):
+    """Block-packed real factor matrices for the packed path: complex
+    products become single real matmuls over doubled axes."""
+    E1r, E1i, E2r, E2i, Ar, Ai, Br, Bi = _dft_factors(H, W, m1, m2)
+    E1c = np.concatenate([E1r, E1i], axis=0)            # (2K, H)
+    E2c = np.block([[E2r, -E2i], [E2i, E2r]])           # (2m2, 2W)
+    Ac = np.block([[Ar, -Ai], [Ai, Ar]])                # (2H, 2K)
+    Bc = np.concatenate([Br, -Bi], axis=1)              # (W, 2m2)
+    return E1c, E2c, Ac, Bc
+
+
+def spectral_conv2d_matmul_packed(
+    x: jnp.ndarray,  # (B, H, W, Cin)
+    weights: jnp.ndarray,  # (2, 2, Cin, Cout, m1, m2)
+    modes1: int,
+    modes2: int,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Packed-complex variant of :func:`spectral_conv2d_matmul`:
+    identical math in 5 einsums instead of 14 by stacking real/imag
+    parts into block matrices. The weight block-matrix construction is
+    loop-invariant, so XLA hoists it out of rollout scans.
+    """
+    B, H, W, Cin = x.shape
+    wf = W // 2 + 1
+    m1 = min(modes1, H // 2)
+    m2 = min(modes2, wf)
+    K = 2 * m1
+    E1c, E2c, Ac, Bc = _dft_factors_packed(H, W, m1, m2)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+        E1c, E2c, Ac, Bc = (
+            f.astype(compute_dtype) for f in (E1c, E2c, Ac, Bc)
+        )
+
+    # Weight block per mode: [[Wr, Wi], [-Wi, Wr]] over channel axes so
+    # that (Xr ‖ Xi) @ block = (Yr ‖ Yi).
+    Wr = jnp.concatenate(
+        [weights[0, 0, :, :, :m1, :m2], weights[1, 0, :, :, :m1, :m2]],
+        axis=2,
+    )  # (Ci, Co, K, m2)
+    Wi = jnp.concatenate(
+        [weights[0, 1, :, :, :m1, :m2], weights[1, 1, :, :, :m1, :m2]],
+        axis=2,
+    )
+    Wblk = jnp.concatenate(
+        [
+            jnp.concatenate([Wr, Wi], axis=1),   # (Ci, 2Co, K, m2)
+            jnp.concatenate([-Wi, Wr], axis=1),
+        ],
+        axis=0,
+    )  # (2Ci, 2Co, K, m2)
+
+    # 1) row transform, re/im stacked along k: (B, 2K, W, C)
+    t = jnp.einsum("kh,bhwc->bkwc", E1c, x)
+    # repack re/im from the k axis onto the w axis: (B, K, 2W, C)
+    s = jnp.concatenate([t[:, :K], t[:, K:]], axis=2)
+    # 2) column transform: (B, K, 2m2, C); halves along m are re/im
+    u = jnp.einsum("mw,bkwc->bkmc", E2c, s)
+    # repack re/im from the m axis onto the channel axis: (B, K, m2, 2C)
+    v = jnp.concatenate([u[:, :, :m2], u[:, :, m2:]], axis=3)
+    # 3) per-mode channel mixing: (B, K, m2, 2Co)
+    y2 = jnp.einsum("bkmi,iokm->bkmo", v, Wblk)
+    # repack re/im from channel axis onto the k axis: (B, 2K, m2, Co)
+    Co = y2.shape[-1] // 2
+    y3 = jnp.concatenate([y2[..., :Co], y2[..., Co:]], axis=1)
+    # 4) inverse row transform: (B, 2H, m2, Co); halves along h re/im
+    z = jnp.einsum("hk,bkmo->bhmo", Ac, y3)
+    # repack re/im from the h axis onto the m axis: (B, H, 2m2, Co)
+    z2 = jnp.concatenate([z[:, :H], z[:, H:]], axis=2)
+    # 5) inverse column transform (takes real part): (B, H, W, Co)
+    y = jnp.einsum("wm,bhmo->bhwo", Bc, z2)
+    return y.astype(out_dtype)
+
+
 # Default backend: "matmul" is the TPU-native path (MXU-bound, no FFT
-# op); "fft" is the semantic reference. Both are numerically equivalent.
-SPECTRAL_BACKEND = "matmul"
+# op); "fft" is the semantic reference. All are numerically equivalent.
+SPECTRAL_BACKEND = "matmul_packed"
 
 
 def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
     b = backend or SPECTRAL_BACKEND
+    if b == "matmul_packed":
+        return spectral_conv2d_matmul_packed(x, weights, modes1, modes2)
     if b == "matmul":
         return spectral_conv2d_matmul(x, weights, modes1, modes2)
     return spectral_conv2d_fft(x, weights, modes1, modes2)

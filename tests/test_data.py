@@ -160,3 +160,31 @@ def test_load_splits_subset(synth_root):
         load_splits=["test"],
     )
     assert train is None and dev is None and test is not None
+
+
+def test_auto_dataset_cache_roundtrip(synth_root, tmp_path):
+    from cfdbench_tpu.data.core import collect_case_dirs, split_cases
+    from cfdbench_tpu.data.datasets import build_auto_dataset
+
+    dirs = split_cases(collect_case_dirs(synth_root / "cavity", "prop"))[0]
+    kw = dict(norm_props=True, norm_bc=True, delta_time=0.1)
+    fresh = build_auto_dataset("cavity", dirs, **kw)
+    cached1 = build_auto_dataset(
+        "cavity", dirs, cache_dir=tmp_path / "cache", **kw
+    )
+    cached2 = build_auto_dataset(
+        "cavity", dirs, cache_dir=tmp_path / "cache", **kw
+    )
+    np.testing.assert_array_equal(fresh.inputs, cached2.inputs)
+    np.testing.assert_array_equal(fresh.case_params, cached2.case_params)
+    assert len(fresh.all_features) == len(cached2.all_features)
+    np.testing.assert_array_equal(
+        fresh.all_features[0], cached2.all_features[0]
+    )
+    assert fresh.case_params_list[0] == cached2.case_params_list[0]
+    # Different settings produce a different cache key (no stale hit).
+    other = build_auto_dataset(
+        "cavity", dirs, norm_props=False, norm_bc=True, delta_time=0.1,
+        cache_dir=tmp_path / "cache",
+    )
+    assert not np.allclose(other.case_params, cached2.case_params)

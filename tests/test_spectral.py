@@ -9,6 +9,7 @@ from cfdbench_tpu.ops.spectral import (
     init_spectral_weights,
     spectral_conv2d_fft,
     spectral_conv2d_matmul,
+    spectral_conv2d_matmul_packed,
 )
 
 
@@ -39,10 +40,12 @@ def test_matmul_equals_fft_and_reference(rng):
 
     y_fft = spectral_conv2d_fft(x, w, m1, m2)
     y_mm = spectral_conv2d_matmul(x, w, m1, m2)
+    y_pk = spectral_conv2d_matmul_packed(x, w, m1, m2)
     y_ref = _np_reference(x, np.asarray(w), m1, m2)
 
     np.testing.assert_allclose(np.asarray(y_fft), y_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_mm), y_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_pk), y_ref, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_fft), atol=2e-5
     )
@@ -55,8 +58,12 @@ def test_matmul_equals_fft_64x64_modes12(rng):
     w = init_spectral_weights(jax.random.PRNGKey(2), C, C, 12, 12)
     y_fft = spectral_conv2d_fft(x, w, 12, 12)
     y_mm = spectral_conv2d_matmul(x, w, 12, 12)
+    y_pk = spectral_conv2d_matmul_packed(x, w, 12, 12)
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_fft), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pk), np.asarray(y_fft), atol=5e-5
     )
 
 
@@ -67,6 +74,12 @@ def test_gradients_match(rng):
 
     g_fft = jax.grad(lambda w: spectral_conv2d_fft(x, w, 4, 4).sum())(w)
     g_mm = jax.grad(lambda w: spectral_conv2d_matmul(x, w, 4, 4).sum())(w)
+    g_pk = jax.grad(
+        lambda w: spectral_conv2d_matmul_packed(x, w, 4, 4).sum()
+    )(w)
     np.testing.assert_allclose(
         np.asarray(g_mm), np.asarray(g_fft), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_pk), np.asarray(g_fft), atol=2e-4
     )
