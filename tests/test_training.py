@@ -1,0 +1,101 @@
+"""Training machinery: schedules, checkpoints, rollout semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfdbench_tpu.training import checkpoints
+from cfdbench_tpu.training.optim import step_lr_schedule
+from cfdbench_tpu.training.rollout import (
+    make_rollout_fn,
+    multistep_metrics,
+    pad_case_features,
+)
+
+
+def test_step_lr_matches_steplr():
+    """StepLR(step_size=2, gamma=0.5) over 3 steps/epoch."""
+    sched = step_lr_schedule(1.0, 0.5, 2, 3)
+    # epochs: 0,0,0, 1,1,1, 2,2,2 → lr 1,1,1, 1,1,1, 0.5,...
+    expected = [1, 1, 1, 1, 1, 1, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.25]
+    got = [float(sched(i)) for i in range(13)]
+    assert got == expected
+
+
+def test_best_ckpt_selection(tmp_path):
+    for ep, dev_loss in [(1, 0.5), (3, 0.2), (5, 0.3)]:
+        d = tmp_path / f"ckpt-{ep}"
+        d.mkdir()
+        checkpoints.save_epoch_scores(d, ep, 0.1, dev_loss, 1.0)
+    best = checkpoints.get_best_ckpt(tmp_path)
+    assert best.name == "ckpt-3"
+
+
+def test_params_roundtrip(tmp_path):
+    params = {
+        "params": {
+            "a": jnp.arange(6.0).reshape(2, 3),
+            "b": {"c": jnp.ones((4,))},
+        }
+    }
+    checkpoints.save_params(params, tmp_path / "ckpt-0")
+    template = jax.tree.map(jnp.zeros_like, params)
+    loaded = checkpoints.load_params(template, tmp_path / "ckpt-0")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rollout_include_initial():
+    """ResNet's generate_many includes the initial frame, shifting its
+    alignment (src/models/resnet.py:229-235)."""
+
+    def apply_fn(params, frame, cp, mask):
+        return frame + 1.0
+
+    frame0 = jnp.zeros((2, 4, 4, 1))
+    cp = jnp.zeros((2, 3))
+    mask = jnp.ones((2, 4, 4, 1))
+    plain = make_rollout_fn(apply_fn, steps=3)(None, frame0, cp, mask)
+    with_init = make_rollout_fn(apply_fn, steps=3, include_initial=True)(
+        None, frame0, cp, mask
+    )
+    np.testing.assert_allclose(np.asarray(plain[:, 0, 0, 0, 0]), [1, 2, 3])
+    np.testing.assert_allclose(
+        np.asarray(with_init[:, 0, 0, 0, 0]), [0, 1, 2]
+    )
+
+
+def test_pad_case_features():
+    feats = [np.ones((3, 4, 4, 3)), np.ones((25, 4, 4, 3))]
+    feats[0][-1] *= 7.0
+    out = pad_case_features(feats, 20)
+    assert out.shape == (2, 20, 4, 4, 3)
+    # short case padded by repeating the last frame
+    assert (out[0, 3:] == 7.0).all()
+
+
+def test_multistep_metrics_masked_u():
+    steps, B, H, W = 2, 1, 2, 2
+    preds = jnp.asarray(
+        np.array([[[[[1.0, 9.0]] * W] * H], [[[[2.0, 9.0]] * W] * H]])
+    )  # (2, 1, 2, 2, 2): u=1 then 2 everywhere; v=9 (ignored)
+    labels = np.zeros((B, steps, H, W, 3))
+    labels[..., 0] = 1.0  # u ground truth = 1
+    mask = np.ones((B, H, W))
+    mask[0, 0, 0] = 0  # one masked cell
+    m = multistep_metrics(preds, labels, mask)
+    # step 0: preds u=1 == labels → only masked cell differs→ 0 error
+    assert np.isclose(m[0]["mse"], 0.0)
+    # step 1: pred u=2, label 1, masked cell excluded: err 1 on 3 of 4
+    assert np.isclose(m[1]["mse"], 3 / 4)
+
+
+def test_vae_dataset_resize(synth_root):
+    from cfdbench_tpu.data import get_auto_dataset
+    from cfdbench_tpu.data.vae_data import build_vae_dataset
+
+    train, _, _ = get_auto_dataset(
+        synth_root, "tube_prop", 0.1, True, True, load_splits=["train"]
+    )
+    ds = build_vae_dataset(train, size=64)
+    assert ds.frames.shape[1:] == (64, 64, 2)  # resized from 18x17
