@@ -59,7 +59,10 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             dropout=args.pixel_diffusion_dropout,
         )
     if args.model in ("latent_diffusion", "latent_diffusion2"):
-        from .models.diffusion import LatentDiffusionCfdModelLite
+        from .models.diffusion import (
+            LatentDiffusionCfdModel,
+            LatentDiffusionCfdModelLite,
+        )
         from .models.vae import make_cfd_vae
         from .training.checkpoints import load_params
 
@@ -76,7 +79,14 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
         vae_params = dict(
             load_params(template, Path(args.ldm_vae_weights_path))
         )["params"]
-        return LatentDiffusionCfdModelLite(
+        # v1 = cross-attention conditioning (latent_diffusion.py);
+        # v2 "Lite" = conditioning-by-addition (ldm2.py).
+        cls = (
+            LatentDiffusionCfdModel
+            if args.model == "latent_diffusion"
+            else LatentDiffusionCfdModelLite
+        )
+        return cls(
             loss_fn,
             vae_params,
             in_chan=args.in_chan,
@@ -378,7 +388,14 @@ def main_vae(argv=None) -> None:
     vae_train = build_vae_dataset(train_data)
     vae_dev = build_vae_dataset(dev_data)
     print(f"# train frames: {len(vae_train)}, dev frames: {len(vae_dev)}")
-    vae = make_cfd_vae("lite", 2, 2, args.ldm_latent_dim)
+    vae = make_cfd_vae(
+        args.vae_variant, 2, 2,
+        args.z_channels if args.vae_variant == "custom"
+        else args.ldm_latent_dim,
+        ch=args.ch,
+        ch_mult=tuple(args.ch_mult),
+        num_res_blocks=args.num_res_blocks,
+    )
     output_dir = Path(args.output_dir) / "vae" / args.data_name
     train_vae(
         vae,

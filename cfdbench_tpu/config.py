@@ -99,6 +99,10 @@ class Args:
     resnet_kernel_size: int = 7
     resnet_padding: int = 3
     # VAE
+    vae_variant: str = "lite"
+    """CfdVae family variant: lite | v1 | v2 | v3 | custom (custom uses
+    ch / ch_mult / num_res_blocks / z_channels, mirroring the diffsci
+    ddconfig path of train_vae_diffsci.py)."""
     vae_kl_weight: float = 1e-4
     vae_kl_annealing_epochs: int = 20
     vae_weight_decay: float = 0.0

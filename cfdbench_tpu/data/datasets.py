@@ -86,6 +86,34 @@ class FrameDataset:
     def n_case_params(self) -> int:
         return self.case_params.shape[1]
 
+    @property
+    def num_points(self) -> int:
+        """Total pointwise examples (``sample_point_by_point`` length,
+        ``src/dataset/cavity.py:207-209``)."""
+        h, w = self.field_shape
+        return len(self) * h * w
+
+    def point_examples(self, idxs: np.ndarray):
+        """Vectorized ``sample_point_by_point`` access
+        (``src/dataset/cavity.py:180-196``): global point index →
+        (case_params, query (t, x, y), u value). Index layout matches
+        the reference: idx // (h·w) selects the frame, the remainder is
+        row-major within the frame with x=row, y=col.
+        """
+        h, w = self.field_shape
+        num_pixels = h * w
+        frame_idx = idxs // num_pixels
+        pix = idxs % num_pixels
+        y = pix // w
+        x = pix % w
+        query = np.stack(
+            [self.frame_t[frame_idx], x.astype(np.float32),
+             y.astype(np.float32)],
+            axis=-1,
+        )
+        values = self.frames[frame_idx, y, x, 0]
+        return self.case_params[frame_idx], query, values
+
 
 # Problems whose auto datasets truncate at convergence. dam loads all
 # frames (src/dataset/dam.py:304-312 has no stable-state cutoff).

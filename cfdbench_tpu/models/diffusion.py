@@ -263,6 +263,148 @@ class GenCastCfdModel(_DiffusionTaskBase):
         return frames
 
 
+class LatentDiffusionCfdModel(_DiffusionTaskBase):
+    """LDM v1 (``src/models/latent_diffusion.py``): frozen CfdVaeLite
+    encodes the label → 8×8 latents ×scaling_factor; the latent UNet
+    conditions via cross-attention over a sequence built from the input
+    field ‖ broadcast case params flattened over space
+    (``latent_diffusion.py:79-89``)."""
+
+    def __init__(
+        self,
+        loss_fn: LossFn,
+        vae_params,
+        in_chan: int = 2,
+        out_chan: int = 2,
+        n_case_params: int = 5,
+        latent_dim: int = 4,
+        scaling_factor: float = 4.5578,
+        noise_scheduler_timesteps: int = 1000,
+        unet_base_channels: int = 64,
+        unet_channel_mult=(1, 2, 4),
+        unet_num_res_blocks: int = 1,
+        context_dim: int = 64,
+    ):
+        from .vae import make_cfd_vae
+
+        super().__init__(loss_fn, noise_scheduler_timesteps)
+        self.in_chan = in_chan
+        self.out_chan = out_chan
+        self.latent_dim = latent_dim
+        self.scaling_factor = scaling_factor
+        self.context_dim = context_dim
+        self.vae = make_cfd_vae("lite", out_chan, out_chan, latent_dim)
+        self.vae_params = vae_params
+        self.context_proj = Dense(context_dim)
+        self.unet = PUNetGCFD(
+            in_channels=latent_dim,
+            out_channels=latent_dim,
+            base_channels=unet_base_channels,
+            n_case_params=n_case_params,
+            channel_mults=unet_channel_mult,
+            num_res_blocks=unet_num_res_blocks,
+            dropout=0.0,
+            cross_attention=True,
+        )
+
+    def _context_tokens(self, inputs, case_params):
+        """Per-pixel tokens [u, v ‖ case_params] → (B, H·W, 2+P)."""
+        B, H, W, _ = inputs.shape
+        cp = jnp.broadcast_to(
+            case_params[:, None, None, :],
+            (B, H, W, case_params.shape[-1]),
+        )
+        return jnp.concatenate(
+            [inputs[..., : self.in_chan], cp], axis=-1
+        ).reshape(B, H * W, -1)
+
+    def init_variables(self, rng, sample_batch):
+        b = sample_batch["inputs"].shape[0]
+        h = sample_batch["inputs"].shape[1]
+        latent_h = h // 8
+        tokens = self._context_tokens(
+            jnp.asarray(sample_batch["inputs"]),
+            jnp.asarray(sample_batch["case_params"]),
+        )
+        r1, r2 = jax.random.split(rng)
+        proj_vs = self.context_proj.init(r1, tokens)
+        ctx = self.context_proj.apply(proj_vs, tokens)
+        unet_vs = self.unet.init(
+            r2,
+            jnp.zeros((b, latent_h, latent_h, self.latent_dim)),
+            jnp.zeros((b,), jnp.int32),
+            sample_batch["case_params"],
+            context=ctx,
+        )
+        return {
+            "context_proj": dict(proj_vs)["params"],
+            "unet": dict(unet_vs)["params"],
+        }, {}
+
+    def init_params(self, rng, sample_batch):
+        params, state = self.init_variables(rng, sample_batch)
+        return {"params": params, **state}
+
+    def _context(self, params, inputs, case_params):
+        tokens = self._context_tokens(inputs, case_params)
+        return self.context_proj.apply(
+            {"params": params["context_proj"]}, tokens
+        )
+
+    def loss_scores(self, params, batch, model_state=None, train=False,
+                    rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng, vkey = jax.random.split(rng)
+        label = batch["labels"][..., : self.out_chan]
+        posterior = self.vae.apply(
+            {"params": self.vae_params}, label, method=self.vae.encode
+        )
+        latents = (
+            jax.lax.stop_gradient(posterior.sample(vkey))
+            * self.scaling_factor
+        )
+        noise, t = self._sample_noise_and_t(rng, latents)
+        noisy = self.scheduler.add_noise(latents, noise, t)
+        ctx = self._context(params, batch["inputs"], batch["case_params"])
+        eps = self.unet.apply(
+            {"params": params["unet"]},
+            noisy, t, batch["case_params"], train=train, context=ctx,
+        )
+        scores = self.loss_fn(
+            eps, noise, sample_weights=batch.get("weights")
+        )
+        return scores[self.loss_fn.objective], (scores, model_state or {})
+
+    def predict_frame(self, params, inputs, case_params, mask,
+                      model_state=None, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        B, H = inputs.shape[0], inputs.shape[1]
+        latent_h = H // 8
+        ctx = self._context(params, inputs, case_params)
+
+        def denoise(x, t):
+            return self.unet.apply(
+                {"params": params["unet"]},
+                x, t, case_params, train=False, context=ctx,
+            )
+
+        latents = ddpm_sample(
+            self.scheduler, denoise,
+            (B, latent_h, latent_h, self.latent_dim), rng,
+            self.num_inference_steps,
+        )
+        frame = self.vae.apply(
+            {"params": self.vae_params},
+            latents / self.scaling_factor,
+            method=self.vae.decode,
+        )
+        if mask is not None:
+            frame = frame * mask
+        return frame
+
+
 class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
     """LDM with conditioning-by-addition in latent space (the
     memory-lean production variant, ``src/models/ldm2.py:240-430``)."""

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -82,6 +83,34 @@ class FilmResBlock(nn.Module):
         return h + residual
 
 
+class CrossAttnBlock(nn.Module):
+    """Spatial-query cross-attention over a conditioning sequence
+    (the mechanism HF ``UNet2DConditionModel`` uses for
+    ``encoder_hidden_states`` in the reference's LDM v1,
+    ``src/models/latent_diffusion.py:79-89``)."""
+
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, context):
+        """x: (B, H, W, C); context: (B, S, D)."""
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=_num_groups(32, C), epsilon=1e-6)(x)
+        q = Dense(C)(h.reshape(B, H * W, C))
+        k = Dense(C)(context)
+        v = Dense(C)(context)
+        nh = self.num_heads
+        hd = C // nh
+        q = q.reshape(B, H * W, nh, hd)
+        k = k.reshape(B, -1, nh, hd)
+        v = v.reshape(B, -1, nh, hd)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(hd)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bnqk,bknd->bqnd", probs, v)
+        out = Dense(C)(out.reshape(B, H * W, C))
+        return x + out.reshape(B, H, W, C)
+
+
 class PUNetGCFD(nn.Module):
     in_channels: int
     out_channels: int
@@ -91,11 +120,13 @@ class PUNetGCFD(nn.Module):
     num_res_blocks: int = 2
     dropout: float = 0.1
     num_groups_norm: int = 32
+    cross_attention: bool = False  # attend over a context sequence
 
     @nn.compact
     def __call__(self, x, timesteps, case_params, mask=None,
-                 train: bool = False):
-        """x: (B, H, W, C_in); timesteps: (B,); case_params: (B, P)."""
+                 train: bool = False, context=None):
+        """x: (B, H, W, C_in); timesteps: (B,); case_params: (B, P);
+        context: optional (B, S, D) sequence for cross-attention."""
         del mask  # handled by callers via channel concat
         b = self.base_channels
         ted = b * 4
@@ -124,6 +155,8 @@ class PUNetGCFD(nn.Module):
         h = FilmResBlock(cur, self.dropout, self.num_groups_norm)(
             h, cond, train
         )
+        if self.cross_attention and context is not None:
+            h = CrossAttnBlock()(h, context)
         h = FilmResBlock(cur, self.dropout, self.num_groups_norm)(
             h, cond, train
         )

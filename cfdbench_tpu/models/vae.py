@@ -146,13 +146,16 @@ class AutoencoderKL(nn.Module):
     out_chan: int = 2
     latent_channels: int = 4
     block_out_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    layers_per_block: int = 1
 
     def setup(self):
         self.encoder = Encoder(
-            self.block_out_channels, self.latent_channels
+            self.block_out_channels, self.latent_channels,
+            self.layers_per_block,
         )
         self.decoder = Decoder(
-            self.block_out_channels, self.out_chan
+            self.block_out_channels, self.out_chan,
+            self.layers_per_block,
         )
         self.quant_conv = Conv(2 * self.latent_channels, kernel_size=1)
         self.post_quant_conv = Conv(self.latent_channels, kernel_size=1)
@@ -176,8 +179,23 @@ class AutoencoderKL(nn.Module):
 
 
 def make_cfd_vae(variant: str = "lite", in_chan=2, out_chan=2,
-                 latent_dim=4) -> AutoencoderKL:
-    """CfdVae family factory (``src/models/cfd_vae.py:10-144``)."""
+                 latent_dim=4, ch: int = 64,
+                 ch_mult: Tuple[int, ...] = (1, 2, 3, 4),
+                 num_res_blocks: int = 2) -> AutoencoderKL:
+    """CfdVae family factory (``src/models/cfd_vae.py:10-144``).
+
+    ``variant="custom"`` mirrors the diffsci-ddconfig path
+    (``src/args.py:343-359`` / ``train_vae_diffsci.py``): channels =
+    ch × ch_mult, ``num_res_blocks`` resnet layers per stage.
+    """
+    if variant == "custom":
+        return AutoencoderKL(
+            in_chan=in_chan,
+            out_chan=out_chan,
+            latent_channels=latent_dim,
+            block_out_channels=tuple(ch * m for m in ch_mult),
+            layers_per_block=num_res_blocks,
+        )
     channels = {
         "v1": (64, 128),
         "v2": (64, 128, 256),

@@ -188,3 +188,21 @@ def test_auto_dataset_cache_roundtrip(synth_root, tmp_path):
         cache_dir=tmp_path / "cache",
     )
     assert not np.allclose(other.case_params, cached2.case_params)
+
+
+def test_frame_dataset_point_examples(synth_root):
+    train, _, _ = get_dataset(
+        "cavity_prop_bc_geo", synth_root, norm_props=False, norm_bc=False
+    )
+    h, w = train.field_shape
+    assert train.num_points == len(train) * h * w
+    idxs = np.array([0, 1, w, h * w])  # first pixel, next col, next row,
+    cp, query, vals = train.point_examples(idxs)  # second frame
+    assert cp.shape == (4, 5) and query.shape == (4, 3)
+    # point 0: frame 0 at (x=0, y=0)
+    assert query[0].tolist() == [0.0, 0.0, 0.0]
+    assert vals[0] == train.frames[0, 0, 0, 0]
+    # idx=1 -> x=1 (col), y=0; idx=w -> y=1 (row)
+    assert query[1][1] == 1.0 and query[1][2] == 0.0
+    assert query[2][1] == 0.0 and query[2][2] == 1.0
+    assert query[3][0] == train.frame_t[1]

@@ -166,3 +166,43 @@ def test_gencast_wrapper_and_task(synth_root, rng):
         batch["case_params"], batch["mask"],
     )
     assert nxt.shape == batch["inputs"].shape
+
+
+def test_latent_diffusion_v1_cross_attention(rng):
+    from cfdbench_tpu.models.diffusion import LatentDiffusionCfdModel
+    from cfdbench_tpu.models.vae import make_cfd_vae
+    import jax
+
+    vae = make_cfd_vae("lite", 2, 2, 4)
+    x16 = jnp.zeros((1, 16, 16, 2))
+    vae_params = dict(vae.init(jax.random.PRNGKey(0), x16, rng=None))[
+        "params"
+    ]
+    task = LatentDiffusionCfdModel(
+        loss_name_to_fn("nmse"), vae_params,
+        unet_base_channels=32, unet_channel_mult=(1,),
+        noise_scheduler_timesteps=100,
+    )
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32),
+        mask=jnp.ones((2, 16, 16, 1)),
+        case_params=jnp.zeros((2, 5)),
+        weights=jnp.ones((2,)),
+    )
+    params, _ = task.init_variables(jax.random.PRNGKey(0), batch)
+    obj, (scores, _) = task.loss_scores(
+        params, batch, train=True, rng=jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(obj))
+    # conditioning matters: different inputs -> different loss
+    batch2 = dict(batch, inputs=batch["inputs"] * 3.0)
+    obj2, _ = task.loss_scores(
+        params, batch2, train=True, rng=jax.random.PRNGKey(1)
+    )
+    assert abs(float(obj) - float(obj2)) > 1e-7
+    task.num_inference_steps = 3
+    frame = task.predict_frame(
+        params, batch["inputs"], batch["case_params"], batch["mask"]
+    )
+    assert frame.shape == (2, 16, 16, 2)
