@@ -57,7 +57,7 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             channel_mults=tuple(args.pixel_diffusion_channel_mults),
             num_res_blocks=args.pixel_diffusion_num_res_blocks,
             dropout=args.pixel_diffusion_dropout,
-        )
+        )._with_remat(args.use_gradient_checkpointing)
     if args.model in ("latent_diffusion", "latent_diffusion2"):
         from .models.diffusion import (
             LatentDiffusionCfdModel,
@@ -481,6 +481,7 @@ def main_gencast(argv=None) -> None:
         num_res_blocks=args.pixel_diffusion_num_res_blocks,
         dropout=args.pixel_diffusion_dropout,
     )
+    task._with_remat(args.use_gradient_checkpointing)
     train_gencast(
         task,
         gc_train,

@@ -49,6 +49,19 @@ class _DiffusionTaskBase:
         self.loss_fn = loss_fn
         self.scheduler = make_ddpm_scheduler(timesteps)
         self.num_inference_steps = 50
+        # jax.checkpoint (remat) around the UNet in the training loss:
+        # trades recompute for activation memory
+        # (reference: torch.utils.checkpoint, pixel_diffusion.py:80-89).
+        self.use_gradient_checkpointing = False
+
+    def _with_remat(self, enabled: bool):
+        self.use_gradient_checkpointing = bool(enabled)
+        return self
+
+    def _maybe_remat(self, fn):
+        import jax as _jax
+
+        return _jax.checkpoint(fn) if self.use_gradient_checkpointing else fn
 
     @property
     def feedback_channels(self):
@@ -116,10 +129,15 @@ class PixelDiffusionCfdModel(_DiffusionTaskBase):
         noise, t = self._sample_noise_and_t(rng, label)
         noisy = self.scheduler.add_noise(label, noise, t)
         rng, drop = jax.random.split(rng)
-        eps = self.unet.apply(
-            {"params": params, **(model_state or {})},
-            noisy, t, batch["case_params"],
-            train=train, rngs={"dropout": drop},
+
+        def unet_fwd(p, noisy_, t_, cp_, drop_):
+            return self.unet.apply(
+                {"params": p, **(model_state or {})},
+                noisy_, t_, cp_, train=train, rngs={"dropout": drop_},
+            )
+
+        eps = self._maybe_remat(unet_fwd)(
+            params, noisy, t, batch["case_params"], drop
         )
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
@@ -210,10 +228,15 @@ class GenCastCfdModel(_DiffusionTaskBase):
         noisy = self.scheduler.add_noise(norm_res, noise, t)
         unet_in = jnp.concatenate([noisy, inputs, prev], axis=-1)
         rng, drop = jax.random.split(rng)
-        eps = self.unet.apply(
-            {"params": params, **(model_state or {})},
-            unet_in, t, batch["case_params"],
-            train=train, rngs={"dropout": drop},
+
+        def unet_fwd(p, x_, t_, cp_, drop_):
+            return self.unet.apply(
+                {"params": p, **(model_state or {})},
+                x_, t_, cp_, train=train, rngs={"dropout": drop_},
+            )
+
+        eps = self._maybe_remat(unet_fwd)(
+            params, unet_in, t, batch["case_params"], drop
         )
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
