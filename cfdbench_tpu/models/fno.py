@@ -105,3 +105,55 @@ class Fno2d(nn.Module):
         x = nn.gelu(x, approximate=False)
         preds = Dense(self.out_chan)(x)  # fc2
         return preds * mask
+
+
+def fno2d_apply_pallas(
+    model: Fno2d, params, inputs, case_params, mask=None,
+    interpret: bool = False,
+):
+    """Forward pass equivalent to ``model.apply({'params': params}, ...)``
+    with every FnoBlock executed as the fused Pallas kernel
+    (``ops.pallas_fno.fused_fno_block``): the whole spectral chain +
+    bypass + GELU stays in VMEM. Reads the standard linen param tree,
+    so the same checkpoint drives both paths (equality unit-tested).
+    Inference only (no custom VJP).
+    """
+    from ..ops.pallas_fno import fused_fno_block
+
+    B, H, W, _ = inputs.shape
+    mask = ensure_mask(mask, B, H, W)
+    x = jnp.concatenate(
+        [
+            inputs,
+            mask,
+            coord_channels(B, H, W, inputs.dtype),
+            broadcast_params_to_channels(case_params, H, W),
+        ],
+        axis=-1,
+    )
+
+    def dense(p, x):
+        inner = p["Dense_0"]
+        return x @ inner["kernel"] + inner["bias"]
+
+    x = dense(params["Dense_0"], x)  # fc0
+    if model.padding is not None:
+        p = model.padding
+        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
+    for i in range(model.num_layers):
+        blk = params[f"FnoBlock_{i}"]
+        x = fused_fno_block(
+            x,
+            blk["SpectralConv2d_0"]["weights"],
+            blk["Dense_0"]["Dense_0"]["kernel"],
+            blk["Dense_0"]["Dense_0"]["bias"],
+            modes1=model.modes1,
+            modes2=model.modes2,
+            interpret=interpret,
+        )
+    if model.padding is not None:
+        x = x[:, : -model.padding, : -model.padding, :]
+    x = dense(params["Dense_1"], x)  # fc1
+    x = nn.gelu(x, approximate=False)
+    preds = dense(params["Dense_2"], x)  # fc2
+    return preds * mask

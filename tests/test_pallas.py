@@ -1,0 +1,25 @@
+"""Pallas fused FnoBlock: equivalence with the XLA path (interpret
+mode on CPU; the compiled kernel runs on real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfdbench_tpu.models.fno import Fno2d, fno2d_apply_pallas
+
+
+def test_pallas_fno_forward_matches_xla(rng):
+    model = Fno2d(num_layers=2, hidden_dim=8, modes1=4, modes2=4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32)
+    cp = jnp.asarray(rng.standard_normal((2, 5)), jnp.float32)
+    m = np.ones((2, 16, 16, 1), np.float32)
+    m[:, 3:5, 3:5] = 0
+    m = jnp.asarray(m)
+    vs = model.init(jax.random.PRNGKey(0), x, cp, m)
+    ref = model.apply(vs, x, cp, m)
+    out = fno2d_apply_pallas(
+        model, vs["params"], x, cp, m, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5
+    )
