@@ -7,10 +7,23 @@ intermediate resident in VMEM. The XLA path materializes ~10
 intermediates through HBM per block; here only x is read and the
 activation written.
 
-Forward-only: the rollout/inference path uses this kernel (enable with
-``cfdbench_tpu.ops.spectral.SPECTRAL_BACKEND`` untouched — the kernel
-is plugged in via ``models.fno.Fno2d(use_pallas=True)``); training uses
-the XLA path (same math, unit-tested equal).
+Forward-only (no custom VJP); the XLA path is used for training.
+
+Backend status: the fused block kernel is numerically validated in
+interpret mode (tests/test_pallas.py) but the TPU backend available in
+this environment (axon / remote Mosaic compile service) cannot compile
+it — three limitations isolated empirically:
+  1. ``erf``/``erfc`` are not lowered (worked around with the
+     Abramowitz–Stegun rational erf, max err 1.5e-7);
+  2. in-kernel reshapes that merge the minor (lane) dimension with
+     others crash the compiler (HTTP 500 from the compile helper);
+  3. any ``dot_general`` with a 3-D operand (batched or
+     middle-axis contraction) crashes likewise — only plain 2-D dots
+     compile.
+``fused_fno_head`` below stays within those limits (2-D dots,
+major-dim reshapes only) and compiles and runs correctly on the real
+chip. On a standard TPU toolchain the full block kernel should compile
+as-is.
 
 See /opt/skills/guides/pallas_guide.md for the kernel-language rules
 used here (VMEM block specs, MXU ``preferred_element_type``, grids).
@@ -56,11 +69,16 @@ def _kernel(x_ref, e1c_ref, e2c_ref, ac_ref, bc_ref, wblk_ref,
     u = jnp.transpose(u, (1, 0, 2))  # (K, 2m2, Cin)
     # repack re/im halves of the mode axis onto channels: (K, m2, 2Cin)
     v = jnp.concatenate([u[:, :m2], u[:, m2:]], axis=2)
-    # 3) per-mode channel mixing: (K, m2, 2Ci) x (2Ci, 2Co, K, m2)
-    y2 = jnp.einsum(
-        "kmi,iokm->kmo", v, wblk_ref[:],
-        preferred_element_type=jnp.float32,
-    )  # (K, m2, 2Cout)
+    # 3) per-mode channel mixing. Mosaic's dot does not support
+    # multiple batch dims, so flatten modes into rows and express the
+    # block-diagonal mixing as broadcast-multiply + reduce on the VPU:
+    # y[km, o] = sum_i v[km, i] * Wblk[km, i, o].
+    Km = K * m2
+    twoCi = v.shape[-1]
+    v2 = v.reshape(Km, twoCi)  # (Km, 2Ci)
+    wb = wblk_ref[:]  # (Km, 2Ci, 2Co) — pre-transposed outside
+    y2 = jnp.sum(v2[:, :, None] * wb, axis=1)  # (Km, 2Co)
+    y2 = y2.reshape(K, m2, -1)
     # repack re/im halves of channels onto the K axis: (2K, m2, Cout)
     y3 = jnp.concatenate([y2[..., :Cout], y2[..., Cout:]], axis=0)
     # 4) inverse row transform: (2H, 2K) @ (2K, m2*Cout)
@@ -84,12 +102,33 @@ def _kernel(x_ref, e1c_ref, e2c_ref, ac_ref, bc_ref, wblk_ref,
         preferred_element_type=jnp.float32,
     ).reshape(H, W, Cout)
     y = spec + bypass + b0_ref[:]
-    out_ref[0] = jax.nn.gelu(y, approximate=False)
+    # Exact GELU. Neither erf nor erfc is lowered in Pallas TPU, so use
+    # the Abramowitz–Stegun 7.1.26 rational erf approximation (max abs
+    # error 1.5e-7 — below the kernel's f32 accumulation noise).
+    z = y * np.float32(1.0 / np.sqrt(2.0))
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * az)
+    poly = t * (
+        np.float32(0.254829592)
+        + t * (
+            np.float32(-0.284496736)
+            + t * (
+                np.float32(1.421413741)
+                + t * (
+                    np.float32(-1.453152027)
+                    + t * np.float32(1.061405429)
+                )
+            )
+        )
+    )
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.sign(z) * erf_abs
+    out_ref[0] = 0.5 * y * (1.0 + erf_z)
 
 
 def build_weight_block(weights, m1, m2):
-    """(2,2,Ci,Co,m1,m2) → (2Ci, 2Co, 2m1, m2) packed mixing block
-    (same layout as spectral_conv2d_matmul_packed)."""
+    """(2,2,Ci,Co,m1,m2) → (2m1·m2, 2Ci, 2Co) per-mode mixing block,
+    rows ordered like the kernel's flattened (K, m2) mode axis."""
     Wr = jnp.concatenate(
         [weights[0, 0, :, :, :m1, :m2], weights[1, 0, :, :, :m1, :m2]],
         axis=2,
@@ -98,12 +137,16 @@ def build_weight_block(weights, m1, m2):
         [weights[0, 1, :, :, :m1, :m2], weights[1, 1, :, :, :m1, :m2]],
         axis=2,
     )
-    return jnp.concatenate(
+    blk = jnp.concatenate(
         [
             jnp.concatenate([Wr, Wi], axis=1),
             jnp.concatenate([-Wi, Wr], axis=1),
         ],
         axis=0,
+    )  # (2Ci, 2Co, K, m2)
+    K = 2 * m1
+    return jnp.transpose(blk, (2, 3, 0, 1)).reshape(
+        K * m2, blk.shape[0], blk.shape[1]
     )
 
 
@@ -147,7 +190,7 @@ def fused_fno_block(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(Bc.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(Wblk.shape, lambda b: (0, 0, 0, 0),
+            pl.BlockSpec(Wblk.shape, lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(w0_kernel.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -161,3 +204,68 @@ def fused_fno_block(
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), jnp.float32),
         interpret=interpret,
     )(x, E1c, E2c, Ac, Bc, Wblk, w0_kernel, w0_bias)
+
+
+def _head_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, mask_ref,
+                 out_ref, *, H, W, C):
+    """fc1 → GELU → fc2 → mask in one VMEM pass (Fno2d head,
+    ``fno2d.py:228-233``). Only 2-D dots and major-dim reshapes —
+    compiles on the restricted Mosaic backend."""
+    h = x_ref[0].reshape(H * W, C)
+    h = jnp.dot(h, k1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:]
+    # exact GELU via rational erf (see module docstring)
+    z = h * np.float32(1.0 / np.sqrt(2.0))
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * az)
+    poly = t * (
+        np.float32(0.254829592)
+        + t * (
+            np.float32(-0.284496736)
+            + t * (
+                np.float32(1.421413741)
+                + t * (
+                    np.float32(-1.453152027)
+                    + t * np.float32(1.061405429)
+                )
+            )
+        )
+    )
+    erf_z = jnp.where(z >= 0, 1.0, -1.0) * (1.0 - poly * jnp.exp(-az * az))
+    h = 0.5 * h * (1.0 + erf_z)
+    h = jnp.dot(h, k2_ref[:], preferred_element_type=jnp.float32)
+    h = h + b2_ref[:]
+    out_ref[0] = h.reshape(H, W, -1) * mask_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_fno_head(x, k1, b1, k2, b2, mask, interpret: bool = False):
+    """x: (B, H, W, C); k1: (C, 128); k2: (128, out); mask: (B, H, W, 1)
+    → (B, H, W, out), masked. Compiles and runs on the axon backend."""
+    B, H, W, C = x.shape
+    out_ch = k2.shape[-1]
+    kernel = functools.partial(_head_kernel, H=H, W=W, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(k1.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(k2.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, 1), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, W, out_ch), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, out_ch), jnp.float32),
+        interpret=interpret,
+    )(x, k1, b1, k2, b2, mask)

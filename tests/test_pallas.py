@@ -23,3 +23,22 @@ def test_pallas_fno_forward_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5
     )
+
+
+def test_fused_head_matches_xla(rng):
+    from cfdbench_tpu.ops.pallas_fno import fused_fno_head
+
+    B, H, W, C = 2, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((C, 128)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((128, 2)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((2,)) * 0.1, jnp.float32)
+    m = np.ones((B, H, W, 1), np.float32)
+    m[:, 2:4] = 0
+    m = jnp.asarray(m)
+    out = fused_fno_head(x, k1, b1, k2, b2, m, interpret=True)
+    h = jnp.einsum("bhwc,cd->bhwd", x, k1) + b1
+    h = jax.nn.gelu(h, approximate=False)
+    ref = (jnp.einsum("bhwd,de->bhwe", h, k2) + b2) * m
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
