@@ -130,7 +130,11 @@ class Args:
     pixel_diffusion_dropout: float = 0.1
 
     # --- 6. advanced training options ---
-    use_mixed_precision: bool = False  # bf16 activations on TPU
+    use_mixed_precision: bool = False
+    """Accepted for reference-CLI compatibility. On TPU, XLA's default
+    matmul precision already multiplies in bf16 with f32 accumulation
+    (the AMP benefit); use --matmul_precision highest to disable for
+    parity runs."""
     gradient_accumulation_steps: int = 1
     use_gradient_checkpointing: bool = False
 
