@@ -44,6 +44,18 @@ def init_auto_model(args: Args, n_case_params: int = None, field_shape=None):
         n_rows, n_cols = field_shape
     p = n_case_params if n_case_params is not None else default_p
 
+    if args.model == "ffno":
+        from .ffno import Ffno2d
+
+        return Ffno2d(
+            in_chan=args.in_chan,
+            out_chan=args.out_chan,
+            n_case_params=p,
+            num_layers=args.fno_depth,
+            hidden_dim=args.fno_hidden_dim,
+            modes1=args.fno_modes_x,
+            modes2=args.fno_modes_y,
+        )
     if args.model == "fno":
         return Fno2d(
             in_chan=args.in_chan,

@@ -272,3 +272,53 @@ def init_spectral_weights(key, in_ch: int, out_ch: int, m1: int, m2: int):
     return scale * jax.random.uniform(
         key, (2, 2, in_ch, out_ch, m1, m2), dtype=jnp.float32
     )
+
+
+@lru_cache(maxsize=None)
+def _dft_factors_1d(N: int, m: int):
+    """1-D half-spectrum factors for modes k = 0..m-1 (m ≤ N//2):
+    forward E[k, n] = exp(-2πi·k·n/N); inverse A[n, k] =
+    α_k·exp(+2πi·k·n/N)/N with α_0 = 1, α_{k>0} = 2 (pocketfft C2R
+    semantics, same derivation as the 2-D factors)."""
+    k = np.arange(m)
+    n = np.arange(N)
+    E = np.exp(-2j * np.pi * np.outer(k, n) / N)
+    alpha = np.where(k == 0, 1.0, 2.0)
+    A = alpha * np.exp(2j * np.pi * np.outer(n, k) / N) / N
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)  # noqa: E731
+    return f32(E.real), f32(E.imag), f32(A.real), f32(A.imag)
+
+
+def spectral_conv1d_matmul(
+    x: jnp.ndarray,  # (B, H, W, C)
+    weights: jnp.ndarray,  # (2, C, C, m): [re/im, in, out, mode]
+    modes: int,
+    axis: int,  # 1 (H) or 2 (W)
+) -> jnp.ndarray:
+    """Factorized 1-D spectral conv along one spatial axis (the FFNO
+    building block, Tran et al., arXiv:2111.13802): project onto the
+    first ``modes`` Fourier modes of that axis, mix channels per mode,
+    reconstruct. DFT-matmul formulation like the 2-D op."""
+    assert axis in (1, 2)
+    N = x.shape[axis]
+    m = min(modes, N // 2)
+    Er, Ei, Ar, Ai = _dft_factors_1d(N, m)
+    Wr, Wi = weights[0, :, :, :m], weights[1, :, :, :m]
+
+    sub = "kh,bhwc->bkwc" if axis == 1 else "kw,bhwc->bhkc"
+    X_r = jnp.einsum(sub, Er, x)
+    X_i = jnp.einsum(sub, Ei, x)
+    mix = "bkwi,iok->bkwo" if axis == 1 else "bhki,iok->bhko"
+    Y_r = jnp.einsum(mix, X_r, Wr) - jnp.einsum(mix, X_i, Wi)
+    Y_i = jnp.einsum(mix, X_r, Wi) + jnp.einsum(mix, X_i, Wr)
+    inv = "hk,bkwc->bhwc" if axis == 1 else "wk,bhkc->bhwc"
+    return jnp.einsum(inv, Ar, Y_r) - jnp.einsum(inv, Ai, Y_i)
+
+
+def init_spectral_weights_1d(key, ch: int, m: int):
+    import jax
+
+    scale = 1.0 / (ch * ch)
+    return scale * jax.random.uniform(
+        key, (2, ch, ch, m), dtype=jnp.float32
+    )

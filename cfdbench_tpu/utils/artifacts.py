@@ -34,7 +34,7 @@ def get_output_dir(args: Args, is_auto: bool = False) -> Path:
         )
     elif m == "unet":
         d = f"lr{args.lr}_d{args.unet_dim}_cp{args.unet_insert_case_params_at}"
-    elif m == "fno":
+    elif m in ("fno", "ffno"):
         d = (
             f"lr{args.lr}_d{args.fno_depth}_h{args.fno_hidden_dim}"
             f"_m1{args.fno_modes_x}_m2{args.fno_modes_y}"

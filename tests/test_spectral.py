@@ -83,3 +83,49 @@ def test_gradients_match(rng):
     np.testing.assert_allclose(
         np.asarray(g_pk), np.asarray(g_fft), atol=2e-4
     )
+
+
+def test_spectral_conv1d_matches_fft(rng):
+    """1-D spectral conv (FFNO building block) vs an rfft/irfft
+    reference along each axis."""
+    from cfdbench_tpu.ops.spectral import (
+        init_spectral_weights_1d,
+        spectral_conv1d_matmul,
+    )
+
+    B, H, W, C, m = 2, 16, 12, 4, 5
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = init_spectral_weights_1d(jax.random.PRNGKey(7), C, m)
+    wc = np.asarray(w[0] + 1j * w[1])  # (C, C, m)
+
+    for axis, N in ((1, H), (2, W)):
+        out = spectral_conv1d_matmul(x, w, m, axis=axis)
+        xf = np.fft.rfft(np.asarray(x), axis=axis)
+        yf = np.zeros_like(xf)
+        if axis == 1:
+            mixed = np.einsum("bkwi,iok->bkwo", xf[:, :m], wc)
+            yf[:, :m] = mixed
+        else:
+            mixed = np.einsum("bhki,iok->bhko", xf[:, :, :m], wc)
+            yf[:, :, :m] = mixed
+        ref = np.fft.irfft(yf, n=N, axis=axis)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_ffno_model_shapes(rng):
+    from cfdbench_tpu.models.ffno import Ffno2d
+
+    model = Ffno2d(num_layers=2, hidden_dim=8, modes1=4, modes2=4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32)
+    cp = jnp.zeros((2, 5))
+    m = jnp.ones((2, 16, 16, 1))
+    vs = model.init(jax.random.PRNGKey(0), x, cp, m)
+    out = model.apply(vs, x, cp, m)
+    assert out.shape == (2, 16, 16, 2)
+    # factorized: spectral params scale with m1 + m2, not m1 * m2
+    n = sum(
+        p.size for name, p in jax.tree_util.tree_leaves_with_path(
+            vs["params"]
+        ) if "weights" in str(name)
+    )
+    assert n == 2 * (2 * 8 * 8 * 4) * 2  # 2 layers x (h + w) weights
