@@ -163,7 +163,11 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=0)
 
 
-def make_eval_step(task: AutoTask):
+def make_eval_step(task: AutoTask, with_preds: bool = True):
+    """``with_preds=False`` skips the frame prediction (expensive for
+    diffusion tasks, whose predict_frame is a full DDPM sampling loop;
+    the reference's training-time eval also only computes the loss)."""
+
     def eval_step(params, model_state, batch):
         _, (scores, _) = task.loss_scores(
             params, batch, model_state=model_state, train=False
@@ -175,13 +179,16 @@ def make_eval_step(task: AutoTask):
             batch["labels"][..., :1],
             sample_weights=batch.get("weights"),
         )
-        preds = task.predict_frame(
-            params,
-            batch["inputs"],
-            batch["case_params"],
-            batch["mask"],
-            model_state=model_state,
-        )
+        if with_preds:
+            preds = task.predict_frame(
+                params,
+                batch["inputs"],
+                batch["case_params"],
+                batch["mask"],
+                model_state=model_state,
+            )
+        else:
+            preds = jnp.zeros((), jnp.float32)
         return scores, input_scores, preds
 
     return jax.jit(eval_step)
@@ -212,7 +219,9 @@ def evaluate(
     """Mirror of ``src/train_auto.py:61-148``: per-batch score lists,
     means over batches, optional prediction collection and plots."""
     if eval_step is None:
-        eval_step = make_eval_step(task)
+        eval_step = make_eval_step(
+            task, with_preds=collect_preds or bool(plot_interval)
+        )
     pad_mult = mesh.shape["data"] if mesh is not None else 1
     names = task.loss_fn.get_score_names()
     scores = {k: [] for k in names}
@@ -325,7 +334,7 @@ def train(
         )
 
     train_step = make_train_step(task, tx, seed=seed)
-    eval_step = make_eval_step(task)
+    eval_step = make_eval_step(task, with_preds=False)
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"Model has {n_params} parameters")
