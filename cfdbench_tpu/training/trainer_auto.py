@@ -381,6 +381,15 @@ def train(
 
         if measure_time:
             jax.block_until_ready(state.params)
+            print("Memory usage:")
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                for k in ("bytes_in_use", "peak_bytes_in_use",
+                          "bytes_limit"):
+                    if k in stats:
+                        print(f"  {k}: {stats[k] / 2**20:.1f} MiB")
+            except Exception:
+                print("  (memory stats unavailable on this backend)")
             print("Time usage:")
             print(time.time() - ep_start)
             return state
