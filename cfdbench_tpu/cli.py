@@ -47,7 +47,7 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
     if args.model == "pixel_diffusion":
         from .models.diffusion import PixelDiffusionCfdModel
 
-        return PixelDiffusionCfdModel(
+        task = PixelDiffusionCfdModel(
             loss_fn,
             out_chan=args.out_chan,
             n_case_params=n_case_params,
@@ -58,6 +58,8 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             num_res_blocks=args.pixel_diffusion_num_res_blocks,
             dropout=args.pixel_diffusion_dropout,
         )._with_remat(args.use_gradient_checkpointing)
+        task.num_inference_steps = args.ldm_num_inference_steps
+        return task
     if args.model in ("latent_diffusion", "latent_diffusion2"):
         from .models.diffusion import (
             LatentDiffusionCfdModel,
@@ -86,7 +88,7 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             if args.model == "latent_diffusion"
             else LatentDiffusionCfdModelLite
         )
-        return cls(
+        task = cls(
             loss_fn,
             vae_params,
             in_chan=args.in_chan,
@@ -99,6 +101,8 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             unet_channel_mult=tuple(args.unet_channel_mult),
             unet_num_res_blocks=args.unet_num_res_blocks,
         )
+        task.num_inference_steps = args.ldm_num_inference_steps
+        return task
     model = init_auto_model(
         args, n_case_params=n_case_params, field_shape=field_shape
     )
@@ -167,6 +171,11 @@ def main_auto(argv=None) -> None:
             seed=args.seed,
             mesh=mesh,
             measure_time=bool(args.measure_time),
+            eval_max_batches=(
+                args.max_eval_batches or None
+                if task.generative else None
+            ),
+            plot_examples=bool(args.plot_train_examples),
         )
     if "test" in args.mode:
         args.save(output_dir / "test_args.json")
@@ -436,17 +445,20 @@ def main_gencast(argv=None) -> None:
         wrap_gencast,
     )
     from .models.diffusion import GenCastCfdModel
-    from .training.trainer_gencast import train_gencast
+    from .training.trainer_gencast import test_gencast, train_gencast
 
     args = Args.parse_args(argv)
     print(args)
-    train_data, dev_data, _ = get_auto_dataset(
+    splits = ["train", "dev"]
+    if "test" in args.mode:
+        splits.append("test")
+    train_data, dev_data, test_data = get_auto_dataset(
         data_dir=Path(args.data_dir),
         data_name=args.data_name,
         delta_time=args.delta_time,
         norm_props=bool(args.norm_props),
         norm_bc=bool(args.norm_bc),
-        load_splits=["train", "dev"],
+        load_splits=splits,
         seed=args.seed,
     )
     gc_train = wrap_gencast(train_data)
@@ -482,21 +494,50 @@ def main_gencast(argv=None) -> None:
         dropout=args.pixel_diffusion_dropout,
     )
     task._with_remat(args.use_gradient_checkpointing)
-    train_gencast(
-        task,
-        gc_train,
-        gc_dev,
-        output_dir=output_dir,
-        num_epochs=args.num_epochs,
-        lr=args.lr,
-        batch_size=args.batch_size,
-        eval_batch_size=args.eval_batch_size,
-        eval_interval=args.eval_interval,
-        log_interval=args.log_interval,
-        weight_decay=args.weight_decay,
-        grad_accum_steps=args.gradient_accumulation_steps,
-        seed=args.seed,
-    )
+    task.num_inference_steps = args.ldm_num_inference_steps
+    if "train" in args.mode:
+        train_gencast(
+            task,
+            gc_train,
+            gc_dev,
+            output_dir=output_dir,
+            num_epochs=args.num_epochs,
+            lr=args.lr,
+            batch_size=args.batch_size,
+            eval_batch_size=args.eval_batch_size,
+            eval_interval=args.eval_interval,
+            log_interval=args.log_interval,
+            weight_decay=args.weight_decay,
+            grad_accum_steps=args.gradient_accumulation_steps,
+            seed=args.seed,
+            max_eval_batches=args.max_eval_batches,
+        )
+    if "test" in args.mode:
+        from .training.checkpoints import load_params
+
+        gc_test = wrap_gencast(test_data)
+        sample = {
+            k: v[:2]
+            for k, v in dict(
+                inputs=gc_test.inputs,
+                inputs_prev=gc_test.inputs_prev,
+                labels=gc_test.labels,
+                mask=gc_test.masks,
+                case_params=gc_test.case_params,
+            ).items()
+        }
+        template, _ = task.init_variables(jax.random.PRNGKey(0), sample)
+        params = dict(
+            load_params({"params": template}, output_dir / "best_model")
+        )["params"]
+        test_gencast(
+            task,
+            params,
+            gc_test,
+            output_dir / "test",
+            batch_size=args.eval_batch_size,
+            max_eval_batches=0,
+        )
 
 
 def dataclasses_replace(args, **kw):

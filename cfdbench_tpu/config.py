@@ -118,7 +118,15 @@ class Args:
     ldm_vae_weights_path: str = "weights/vaelite_002"
     ldm_latent_dim: int = 4
     ldm_noise_scheduler_timesteps: int = 1000
+    ldm_num_inference_steps: int = 50
+    """DDPM sampling steps at generation time (the reference hardcodes
+    50, e.g. ``src/models/pixel_diffusion.py:107-137``)."""
     ldm_scaling_factor: float = 4.5578
+    max_eval_batches: int = 50
+    """Diffusion-family eval-batch cap: generating frames is a full
+    sampling loop per batch, so dev eval is capped (reference:
+    ``src/train_ldm2.py:26`` caps at 50, ``train_gencast.py:144`` at
+    100). 0 = no cap. Non-diffusion models are never capped."""
     unet_base_channels: int = 64
     unet_channel_mult: Tuple[int, ...] = (1, 2, 4)
     unet_num_res_blocks: int = 1
@@ -141,6 +149,10 @@ class Args:
     # --- 7. TPU / parallelism (new; no reference equivalent) ---
     mesh_shape: str = "auto"  # "auto" | "N" | "NdxM" e.g. "4x2" (data x model)
     measure_time: int = 0
+    plot_train_examples: int = 1
+    """Write an ``example.png`` (input/label/pred) at each eval epoch
+    (reference plots one on the first step of every epoch,
+    ``src/train_auto.py:234-250``)."""
     matmul_precision: str = "default"
     """XLA matmul precision: 'default' (bf16 multiplies, f32 accumulate
     — fastest on TPU), 'high', or 'highest' (full f32, for numerical

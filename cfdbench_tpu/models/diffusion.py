@@ -44,6 +44,9 @@ from .punetg import PUNetGCFD
 
 class _DiffusionTaskBase:
     pointwise = False
+    # Eval generates frames and scores them (masked frame MSE/NMSE,
+    # reference evaluate_ldm) rather than scoring the noise prediction.
+    generative = True
 
     def __init__(self, loss_fn: LossFn, timesteps: int):
         self.loss_fn = loss_fn

@@ -27,7 +27,13 @@ from ..data.datasets import AutoDataset
 from ..data.pipeline import batches, num_batches
 from ..metrics import LossFn
 from ..parallel.mesh import batch_sharding, replicated_sharding
-from ..utils.artifacts import dump_json, plot_loss, plot_predictions
+from ..utils.artifacts import (
+    dump_json,
+    plot_example,
+    plot_loss,
+    plot_predictions,
+)
+from ..utils.timing import force_completion
 from . import checkpoints
 
 
@@ -48,6 +54,8 @@ class AutoTask:
     the full query lattice; loss against flattened u labels (unmasked)
     — matching e.g. ``src/models/auto_deeponet.py:108-144``.
     """
+
+    generative = False  # diffusion tasks override: eval generates frames
 
     def __init__(self, model, loss_fn: LossFn):
         self.model = model
@@ -194,6 +202,36 @@ def make_eval_step(task: AutoTask, with_preds: bool = True):
     return jax.jit(eval_step)
 
 
+def make_gen_eval_step(task):
+    """Generate-and-score eval for diffusion tasks: DDPM-sample the next
+    frame and score masked frame metrics against the label (reference
+    ``evaluate_ldm``, ``src/train_ldm.py:21-59``: mse of ``gen*mask`` vs
+    ``label*mask``, nmse normalized by the masked label), plus a masked
+    persistence baseline (``src/train_gencast.py:176-180``)."""
+
+    def gen_eval_step(params, model_state, batch):
+        frame = task.predict_frame(
+            params,
+            batch["inputs"],
+            batch["case_params"],
+            batch["mask"],
+            model_state=model_state,
+        )
+        oc = frame.shape[-1]
+        w = batch.get("weights")
+        labels = batch["labels"][..., :oc] * batch["mask"]
+        scores = task.loss_fn(
+            frame * batch["mask"], labels, sample_weights=w
+        )
+        input_scores = task.loss_fn(
+            batch["inputs"][..., :oc] * batch["mask"], labels,
+            sample_weights=w,
+        )
+        return scores, input_scores, frame
+
+    return jax.jit(gen_eval_step)
+
+
 def dataset_arrays(data: AutoDataset) -> Dict[str, np.ndarray]:
     return dict(
         inputs=data.inputs,
@@ -215,18 +253,33 @@ def evaluate(
     mesh=None,
     collect_preds: bool = True,
     measure_time: bool = False,
+    max_eval_batches: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Mirror of ``src/train_auto.py:61-148``: per-batch score lists,
-    means over batches, optional prediction collection and plots."""
+    means over batches, optional prediction collection and plots.
+
+    Diffusion tasks (``task.generative``) are scored on the *generated
+    frame* (masked MSE/NMSE vs label, reference ``evaluate_ldm``), not
+    on the noise-prediction loss. ``max_eval_batches`` caps the number
+    of eval batches (the reference caps diffusion eval at 50/100,
+    ``src/train_ldm2.py:26``, ``src/train_gencast.py:144``).
+
+    Per-batch scores stay on device; one transfer at the end (the
+    per-batch host sync costs ~28 ms each on the tunneled backend).
+    """
+    generative = getattr(task, "generative", False)
+    keep_preds = collect_preds or bool(plot_interval)
     if eval_step is None:
-        eval_step = make_eval_step(
-            task, with_preds=collect_preds or bool(plot_interval)
-        )
+        if generative:
+            eval_step = make_gen_eval_step(task)
+        else:
+            eval_step = make_eval_step(task, with_preds=keep_preds)
     pad_mult = mesh.shape["data"] if mesh is not None else 1
     names = task.loss_fn.get_score_names()
-    scores = {k: [] for k in names}
-    input_scores = {k: [] for k in names}
+    score_rows = []  # device (2, n_names) stacks: [pred, input-baseline]
     all_preds = []
+    n_valids = []
+    plot_panels = {}  # step -> (input_u, label_u) host slices
     start = time.time()
     n_batches = 0
     for step, batch in enumerate(
@@ -235,33 +288,61 @@ def evaluate(
             pad_multiple=pad_mult,
         )
     ):
+        if max_eval_batches is not None and step >= max_eval_batches:
+            break
+        n_valids.append(int(batch["weights"].sum()))
+        if plot_interval and step % plot_interval == 0:
+            plot_panels[step] = (
+                batch["inputs"][0, ..., 0].copy(),
+                batch["labels"][0, ..., 0].copy(),
+            )
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding(mesh))
         s, isc, preds = eval_step(params, model_state or {}, batch)
-        n_valid = int(batch["weights"].sum())
-        for k in names:
-            scores[k].append(float(s[k]))
-            input_scores[k].append(float(isc[k]))
-        if collect_preds:
-            all_preds.append(np.asarray(preds)[:n_valid])
+        score_rows.append(
+            jnp.stack(
+                [
+                    jnp.stack([s[k] for k in names]),
+                    jnp.stack([isc[k] for k in names]),
+                ]
+            )
+        )
+        if preds.ndim > 0:
+            all_preds.append(preds)
         n_batches += 1
-        if (
-            plot_interval
-            and step % plot_interval == 0
-            and not measure_time
-            and not task.pointwise
-        ):
+    # Single device→host transfer for every batch's scores.
+    if score_rows:
+        mat = np.asarray(jnp.stack(score_rows))  # (n_batches, 2, n_names)
+    else:
+        mat = np.zeros((0, 2, len(names)))
+    if measure_time:
+        dt = 1000 * (time.time() - start) / max(n_batches, 1)
+        print(f"Time (ms) per step: {dt:.3f}")
+
+    scores = {k: mat[:, 0, i].tolist() for i, k in enumerate(names)}
+    input_scores = {k: mat[:, 1, i].tolist() for i, k in enumerate(names)}
+    preds_host = None
+    if all_preds:
+        # One stacked transfer, then unpad per batch.
+        stacked = np.asarray(jnp.stack(all_preds))
+        preds_host = np.concatenate(
+            [p[:nv] for p, nv in zip(stacked, n_valids)]
+        )
+    if (
+        plot_interval
+        and preds_host is not None
+        and not task.pointwise
+        and not measure_time
+    ):
+        offsets = np.cumsum([0] + n_valids)
+        for step, (inp_u, label_u) in plot_panels.items():
             plot_predictions(
-                inp=np.asarray(batch["inputs"][0, ..., 0]),
-                label=np.asarray(batch["labels"][0, ..., 0]),
-                pred=np.asarray(preds[0, ..., 0]),
+                inp=inp_u,
+                label=label_u,
+                pred=preds_host[offsets[step], ..., 0],
                 out_dir=Path(output_dir) / "images",
                 step=step,
             )
-    if measure_time:
-        jax.block_until_ready(preds)
-        dt = 1000 * (time.time() - start) / n_batches
-        print(f"Time (ms) per step: {dt:.3f}")
 
     avg_scores = {}
     for k in names:
@@ -271,7 +352,7 @@ def evaluate(
         scores=dict(mean=avg_scores, all=scores),
     )
     if collect_preds:
-        result["preds"] = np.concatenate(all_preds) if all_preds else None
+        result["preds"] = preds_host
     if "nmse" in scores:
         plot_loss(scores["nmse"], Path(output_dir) / "loss.png")
     return result
@@ -293,6 +374,8 @@ def train(
     seed: int = 0,
     mesh=None,
     measure_time: bool = False,
+    eval_max_batches: Optional[int] = None,
+    plot_examples: bool = False,
 ) -> TrainState:
     from .optim import make_adam
 
@@ -334,7 +417,20 @@ def train(
         )
 
     train_step = make_train_step(task, tx, seed=seed)
-    eval_step = make_eval_step(task, with_preds=False)
+    if getattr(task, "generative", False):
+        # Diffusion dev eval generates frames and scores them (masked
+        # frame MSE/NMSE, reference evaluate_ldm) — cap the batches.
+        eval_step = make_gen_eval_step(task)
+    else:
+        eval_step = make_eval_step(task, with_preds=False)
+    predict_fn = None
+    if plot_examples:
+        predict_fn = jax.jit(
+            lambda p, st, b: task.predict_frame(
+                p, b["inputs"], b["case_params"], b["mask"],
+                model_state=st,
+            )
+        )
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"Model has {n_params} parameters")
@@ -380,7 +476,7 @@ def train(
                 print(info)
 
         if measure_time:
-            jax.block_until_ready(state.params)
+            force_completion(scores)
             print("Memory usage:")
             try:
                 stats = jax.local_devices()[0].memory_stats() or {}
@@ -408,8 +504,32 @@ def train(
                 eval_step=eval_step,
                 mesh=mesh,
                 collect_preds=False,
+                max_eval_batches=eval_max_batches,
             )
             dev_scores = result["scores"]
+            if predict_fn is not None:
+                # Train-time example.png (src/train_auto.py:234-250).
+                pb = next(
+                    iter(
+                        batches(
+                            dataset_arrays(dev_data), eval_batch_size,
+                            shuffle=False,
+                            pad_multiple=(
+                                mesh.shape["data"] if mesh is not None
+                                else 1
+                            ),
+                        )
+                    )
+                )
+                if mesh is not None:
+                    pb = jax.device_put(pb, batch_sharding(mesh))
+                pred = predict_fn(state.params, state.model_state, pb)
+                plot_example(
+                    inp=np.asarray(pb["inputs"][0, ..., 0]),
+                    label=np.asarray(pb["labels"][0, ..., 0]),
+                    pred=np.asarray(pred[0, ..., 0]),
+                    out_path=output_dir / "example.png",
+                )
             dump_json(dev_scores, ckpt_dir / "dev_scores.json")
             dump_json(ep_losses, ckpt_dir / "train_loss.json")
             checkpoints.save_params(
@@ -439,9 +559,12 @@ def test(
     plot_interval: int = 10,
     mesh=None,
     measure_time: bool = False,
+    max_eval_batches: Optional[int] = None,
 ) -> None:
     """Single-step test-set eval; writes preds.npy + scores.json
-    (reference writes preds.pt, ``src/train_auto.py:151-178``)."""
+    (reference writes preds.pt, ``src/train_auto.py:151-178``). For
+    diffusion tasks this generates every frame (sampling scan) and
+    scores masked frame metrics."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     result = evaluate(
@@ -454,6 +577,7 @@ def test(
         plot_interval=plot_interval,
         mesh=mesh,
         measure_time=measure_time,
+        max_eval_batches=max_eval_batches,
     )
     if result.get("preds") is not None:
         np.save(output_dir / "preds.npy", result["preds"])

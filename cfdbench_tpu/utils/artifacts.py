@@ -127,6 +127,38 @@ def plot_predictions(
     plt.close(fig)
 
 
+def plot_example(
+    inp: Optional[np.ndarray],
+    label: np.ndarray,
+    pred: np.ndarray,
+    out_path: Path,
+) -> None:
+    """Single input/label/pred snapshot at a fixed path — the train-time
+    ``example.png`` contract (reference plots one on the first step of
+    each epoch, ``src/train_auto.py:234-250``)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return
+    panels = [("label", label), ("pred", pred)]
+    if inp is not None:
+        panels.insert(0, ("input", inp))
+    vmin = min(float(np.min(p)) for _, p in panels)
+    vmax = max(float(np.max(p)) for _, p in panels)
+    fig, axs = plt.subplots(1, len(panels), figsize=(4 * len(panels), 3.2))
+    for ax, (title, p) in zip(np.atleast_1d(axs), panels):
+        im = ax.imshow(np.asarray(p), vmin=vmin, vmax=vmax)
+        ax.set_title(title)
+        fig.colorbar(im, ax=ax)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
 def plot_multistep_metrics(metrics, out_path: Optional[Path] = None) -> None:
     """Log-scale nmse/mse/mae vs step (``test_multistep.py:58-70``)."""
     try:

@@ -1,7 +1,64 @@
 """Generative trainers end-to-end on tiny configs (CPU)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def test_generative_eval_scores_frames(tmp_path, rng):
+    """Diffusion-family eval must score the *generated frame* (masked
+    MSE/NMSE vs label — reference ``evaluate_ldm``,
+    ``src/train_ldm.py:21-59``), not the noise prediction, with a
+    masked persistence baseline and capped batches."""
+    from types import SimpleNamespace
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.diffusion import PixelDiffusionCfdModel
+    from cfdbench_tpu.training import trainer_auto
+
+    task = PixelDiffusionCfdModel(
+        loss_name_to_fn("nmse"), out_chan=2, n_case_params=5,
+        image_size=8, base_channels=8, num_res_blocks=1,
+        noise_scheduler_timesteps=20,
+    )
+    assert task.generative
+    task.num_inference_steps = 2
+    n = 6
+    data = SimpleNamespace(
+        inputs=rng.standard_normal((n, 8, 8, 2)).astype(np.float32),
+        labels=rng.standard_normal((n, 8, 8, 2)).astype(np.float32),
+        masks=np.ones((n, 8, 8, 1), np.float32),
+        case_params=np.zeros((n, 5), np.float32),
+    )
+    batch = {
+        k: jnp.asarray(v[:2])
+        for k, v in dict(
+            inputs=data.inputs, labels=data.labels, mask=data.masks,
+            case_params=data.case_params,
+        ).items()
+    }
+    params, _ = task.init_variables(jax.random.PRNGKey(0), batch)
+    result = trainer_auto.evaluate(
+        task, params, data, tmp_path, batch_size=2,
+        collect_preds=True, max_eval_batches=2,
+    )
+    scores = result["scores"]
+    # Cap respected: 2 of 3 batches.
+    assert len(scores["all"]["nmse"]) == 2
+    assert result["preds"].shape == (4, 8, 8, 2)
+    assert np.isfinite(result["preds"]).all()
+    # Input-baseline column carries the masked persistence score
+    # exactly (mask is all ones here, so plain MSE).
+    mat_in = np.asarray(scores["mean"]["input_mse"])
+    exp_all = [
+        float(np.mean((data.inputs[i: i + 2] - data.labels[i: i + 2]) ** 2))
+        for i in (0, 2)
+    ]
+    assert np.isclose(mat_in, np.mean(exp_all), rtol=1e-5)
+    # Frame scores come from generation, not persistence.
+    assert not np.isclose(
+        scores["mean"]["mse"], scores["mean"]["input_mse"]
+    )
 
 
 def test_vae_trainer_smoke(synth_root, tmp_path):
@@ -34,9 +91,13 @@ def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path):
     from cfdbench_tpu.data.wrapper import (
         compute_residual_stats, wrap_gencast,
     )
+    from cfdbench_tpu.data.core import load_json
     from cfdbench_tpu.metrics import loss_name_to_fn
     from cfdbench_tpu.models.diffusion import GenCastCfdModel
-    from cfdbench_tpu.training.trainer_gencast import train_gencast
+    from cfdbench_tpu.training.trainer_gencast import (
+        test_gencast,
+        train_gencast,
+    )
 
     train, dev, _ = get_auto_dataset(
         synth_root, "cavity_prop_bc_geo", 0.1, True, True,
@@ -52,22 +113,38 @@ def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path):
         base_channels=8, num_res_blocks=1,
         noise_scheduler_timesteps=50,
     )
+    task.num_inference_steps = 2
     out = tmp_path / "gc_out"
     state = train_gencast(
         task, gc_train, gc_dev, output_dir=out,
         num_epochs=2, lr=1e-3, batch_size=16, eval_batch_size=16,
         eval_interval=2, log_interval=100, warmup_steps=2,
+        frame_eval_batches=1,
     )
     assert (out / "best_model").exists()
     assert (out / "training_meta.json").exists()
+    # Eval artifact: noise scores + masked persistence baseline +
+    # generated-frame scores (reference evaluate_ldm semantics).
+    dev_scores = load_json(out / "ckpt-1" / "dev_scores.json")
+    for key in ("nmse", "input_nmse", "gen_frame_nmse"):
+        assert np.isfinite(dev_scores["mean"][key])
     step_after_first = int(np.asarray(jax.device_get(state.step)))
     # Resume continues from the saved epoch.
     state2 = train_gencast(
         task, gc_train, gc_dev, output_dir=out,
         num_epochs=4, lr=1e-3, batch_size=16, eval_batch_size=16,
         eval_interval=2, log_interval=100, warmup_steps=2,
+        frame_eval_batches=1,
     )
     assert int(np.asarray(jax.device_get(state2.step))) > step_after_first
+    # Test mode: generate-and-score the dev split (stand-in for test).
+    scores = test_gencast(
+        task, state2.params, gc_dev, out / "test", batch_size=16,
+        max_eval_batches=2,
+    )
+    assert np.isfinite(scores["mean"]["nmse"])
+    assert (out / "test" / "scores.json").exists()
+    assert (out / "test" / "preds.npy").exists()
 
 
 def test_uncond_ddpm_trainer_smoke(synth_root, tmp_path):
