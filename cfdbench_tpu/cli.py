@@ -329,14 +329,22 @@ def main_multistep(argv=None) -> None:
             )
         }
         params = dict(load_best_params(template, output_dir))["params"]
-        cp_tiled = np.tile(case_params, (infer_steps, 1))
-        ts = np.repeat(
-            np.arange(infer_steps, dtype=np.float32), C
-        )[:, None]
-        preds_flat = jax.jit(
-            lambda p, cp, t: task.generate_one(p, cp, t, H, W)
-        )(params, cp_tiled, ts)
-        preds = np.asarray(preds_flat).reshape(infer_steps, C, H, W, 1)
+        # One jitted call per step (cases batched): the all-steps-at-once
+        # variant materializes a (steps·cases, H·W, width) trunk
+        # intermediate — multi-GB at the real test-split size. The
+        # reference evaluates per frame (``test_multistep.py:119-132``).
+        gen = jax.jit(lambda p, cp, t: task.generate_one(p, cp, t, H, W))
+        preds = np.stack(
+            [
+                np.asarray(
+                    gen(
+                        params, case_params,
+                        np.full((C, 1), s, dtype=np.float32),
+                    )
+                ).reshape(C, H, W, 1)
+                for s in range(infer_steps)
+            ]
+        )
         metrics = multistep_metrics(preds, features, mask)
         for m in metrics:
             print(m)
@@ -344,32 +352,83 @@ def main_multistep(argv=None) -> None:
         plot_multistep_metrics(metrics, output_dir / "multistep_metrics.pdf")
         return
 
-    model = init_auto_model(
-        args,
-        n_case_params=case_params.shape[1],
-        field_shape=frame0.shape[1:3],
-    )
-    task = trainer_auto.AutoTask(model, loss_name_to_fn(args.loss_name))
     output_dir = get_output_dir(args, is_auto=True)
-    sample = dict(
-        inputs=frame0[:1],
-        labels=frame0[:1],
-        mask=mask[:1],
-        case_params=case_params[:1],
-    )
-    template = task.init_params(jax.random.PRNGKey(0), sample)
-    variables = dict(load_best_params(template, output_dir))
-    params = variables.pop("params")
 
-    fb = task.feedback_channels
-    rollout = make_rollout_fn(
-        lambda p, f, cp, m: task.predict_frame(
-            p, f, cp, m, model_state=variables
-        ),
-        steps=infer_steps,
-        include_initial=(args.model == "resnet"),
-    )
-    preds = rollout(params, frame0[..., :fb], case_params, mask)
+    if args.model == "gencast":
+        # GenCast rollout: jitted scan keeping the 2-frame window
+        # (``src/models/gen_cast_cfd.py:275-308``). The window is seeded
+        # with (frame0, frame0) — the reference's test_multistep never
+        # wires GenCast, so only one initial frame is available.
+        from .data.wrapper import load_residual_stats
+        from .models.diffusion import GenCastCfdModel
+        from .training.checkpoints import load_params
+
+        stats = load_residual_stats(output_dir / "residual_stats.npz")
+        task = GenCastCfdModel(
+            loss_name_to_fn(args.loss_name),
+            residual_mean=stats["residual_mean"],
+            residual_std=stats["residual_std"],
+            in_chan=args.in_chan,
+            out_chan=args.out_chan,
+            n_case_params=case_params.shape[1],
+            noise_scheduler_timesteps=args.ldm_noise_scheduler_timesteps,
+            base_channels=args.pixel_diffusion_base_channels,
+            channel_mults=tuple(args.pixel_diffusion_channel_mults),
+            num_res_blocks=args.pixel_diffusion_num_res_blocks,
+            dropout=args.pixel_diffusion_dropout,
+        )
+        task.num_inference_steps = args.ldm_num_inference_steps
+        sample = dict(
+            inputs=frame0[:1], inputs_prev=frame0[:1],
+            labels=frame0[:1], mask=mask[:1],
+            case_params=case_params[:1],
+        )
+        template, _ = task.init_variables(jax.random.PRNGKey(0), sample)
+        params = dict(
+            load_params({"params": template}, output_dir / "best_model")
+        )["params"]
+        preds = jax.jit(
+            lambda p, f0, cp, m: task.rollout(
+                p, f0, f0, cp, m, steps=infer_steps
+            )
+        )(params, frame0, case_params, mask)
+    else:
+        task = make_auto_task(
+            args,
+            n_case_params=case_params.shape[1],
+            field_shape=frame0.shape[1:3],
+        )
+        sample = dict(
+            inputs=frame0[:1],
+            labels=frame0[:1],
+            mask=mask[:1],
+            case_params=case_params[:1],
+        )
+        template = task.init_params(jax.random.PRNGKey(0), sample)
+        variables = dict(load_best_params(template, output_dir))
+        params = variables.pop("params")
+
+        fb = task.feedback_channels
+        if getattr(task, "generative", False):
+            # Diffusion chaining: each step is a DDPM sampling run with
+            # fresh noise (``src/models/pixel_diffusion.py:139-154``).
+            rollout = make_rollout_fn(
+                lambda p, f, cp, m, key: task.predict_frame(
+                    p, f, cp, m, model_state=variables, rng=key
+                ),
+                steps=infer_steps,
+                stochastic=True,
+                seed=args.seed,
+            )
+        else:
+            rollout = make_rollout_fn(
+                lambda p, f, cp, m: task.predict_frame(
+                    p, f, cp, m, model_state=variables
+                ),
+                steps=infer_steps,
+                include_initial=(args.model == "resnet"),
+            )
+        preds = rollout(params, frame0[..., :fb], case_params, mask)
     metrics = multistep_metrics(preds, features, mask)
     for m in metrics:
         print(m)

@@ -29,6 +29,8 @@ def make_rollout_fn(
     apply_fn: Callable,
     steps: int,
     include_initial: bool = False,
+    stochastic: bool = False,
+    seed: int = 0,
 ) -> Callable:
     """Build a jitted rollout: (params, frame0, case_params, mask) →
     (steps, B, H, W, C) stacked predictions.
@@ -36,10 +38,19 @@ def make_rollout_fn(
     ``apply_fn(params, frame, case_params, mask) -> next_frame`` must
     preserve the frame's shape (the trainer wraps point models so their
     1-channel full-field prediction is the carry).
+
+    ``stochastic=True`` changes the contract to
+    ``apply_fn(params, frame, case_params, mask, key)`` and feeds a
+    fresh PRNG key each step — used by the diffusion family, whose
+    per-step prediction is a DDPM sampling run (the reference chains
+    ``generate`` with fresh noise, ``src/models/pixel_diffusion.py:139-154``).
     """
 
-    def scan_step(carry, _, params, case_params, mask):
-        nxt = apply_fn(params, carry, case_params, mask)
+    def scan_step(carry, key, params, case_params, mask):
+        if stochastic:
+            nxt = apply_fn(params, carry, case_params, mask, key)
+        else:
+            nxt = apply_fn(params, carry, case_params, mask)
         return nxt, nxt
 
     @functools.partial(jax.jit, donate_argnums=())
@@ -47,7 +58,12 @@ def make_rollout_fn(
         step = functools.partial(
             scan_step, params=params, case_params=case_params, mask=mask
         )
-        _, frames = jax.lax.scan(step, frame0, None, length=steps)
+        xs = (
+            jax.random.split(jax.random.PRNGKey(seed), steps)
+            if stochastic
+            else None
+        )
+        _, frames = jax.lax.scan(step, frame0, xs, length=steps)
         if include_initial:
             frames = jnp.concatenate([frame0[None], frames[:-1]], axis=0)
         return frames

@@ -47,6 +47,67 @@ def test_train_auto_fno_end_to_end(synth_root, out_root):
     assert all(set(m) == {"mse", "nmse", "mae"} for m in metrics)
 
 
+def test_multistep_pixel_diffusion_end_to_end(synth_root, out_root):
+    """Diffusion family in test_multistep (round-1 gap #2): train a tiny
+    pixel-diffusion model, then chain DDPM generation for 20 steps."""
+    out = out_root / "diff"
+    common = [
+        "--model", "pixel_diffusion", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--output_dir", str(out),
+        "--pixel_diffusion_base_channels", "8",
+        "--pixel_diffusion_num_res_blocks", "1",
+        "--ldm_noise_scheduler_timesteps", "20",
+        "--ldm_num_inference_steps", "2", "--mesh_shape", "1",
+    ]
+    main_auto(common + [
+        "--num_epochs", "2", "--batch_size", "16",
+        "--eval_batch_size", "16", "--eval_interval", "2",
+        "--log_interval", "100", "--mode", "train",
+        "--plot_train_examples", "0",
+    ])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "pixel_diffusion"
+        / "lr0.0001_steps20"
+    )
+    dev = json.loads((run / "ckpt-1" / "dev_scores.json").read_text())
+    # Frame-based scores (generate-and-score), not noise loss: the
+    # persistence baseline must be present and finite.
+    assert "input_nmse" in dev["mean"]
+
+    main_multistep(common)
+    metrics = json.loads((run / "multistep_metrics.json").read_text())
+    assert len(metrics) == 20
+    assert all(set(m) == {"mse", "nmse", "mae"} for m in metrics)
+
+
+def test_multistep_gencast_end_to_end(synth_root, out_root, tmp_path):
+    """GenCast 2-frame-window rollout reachable from the driver."""
+    from cfdbench_tpu.cli import main_gencast
+
+    out = out_root / "gc"
+    common = [
+        "--model", "gencast", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--output_dir", str(out),
+        "--pixel_diffusion_base_channels", "8",
+        "--pixel_diffusion_num_res_blocks", "1",
+        "--ldm_noise_scheduler_timesteps", "20",
+        "--ldm_num_inference_steps", "2", "--mesh_shape", "1",
+    ]
+    main_gencast(common + [
+        "--num_epochs", "2", "--batch_size", "16",
+        "--eval_batch_size", "16", "--eval_interval", "2",
+        "--log_interval", "100", "--mode", "train",
+    ])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "gencast"
+        / "lr0.0001_steps20"
+    )
+    assert (run / "best_model").exists()
+    main_multistep(common)
+    metrics = json.loads((run / "multistep_metrics.json").read_text())
+    assert len(metrics) == 20
+
+
 def test_train_nonauto_ffn_end_to_end(synth_root, out_root):
     out = out_root / "nonauto"
     main_train([
