@@ -36,8 +36,13 @@ def _apply_runtime_flags(args: Args):
         atexit.register(jax.profiler.stop_trace)
 
 
-DIFFUSION_MODELS = ("pixel_diffusion", "latent_diffusion",
-                    "latent_diffusion2")
+DIFFUSION_MODELS = (
+    "pixel_diffusion",
+    "latent_diffusion",        # v1: cross-attention, learned ctx proj
+    "latent_diffusion2",       # v2 non-lite: cross-attention, raw ctx
+    "latent_diffusion_lite",   # v2 Lite: conditioning-by-addition
+    "latent_diffusion2_lite",  # back-compat alias (round-1 name) → Lite
+)
 
 
 def make_auto_task(args: Args, n_case_params: int, field_shape):
@@ -60,9 +65,10 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
         )._with_remat(args.use_gradient_checkpointing)
         task.num_inference_steps = args.ldm_num_inference_steps
         return task
-    if args.model in ("latent_diffusion", "latent_diffusion2"):
+    if args.model.startswith("latent_diffusion"):
         from .models.diffusion import (
             LatentDiffusionCfdModel,
+            LatentDiffusionCfdModel2,
             LatentDiffusionCfdModelLite,
         )
         from .models.vae import make_cfd_vae
@@ -71,23 +77,30 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
         vae = make_cfd_vae(
             "lite", args.out_chan, args.out_chan, args.ldm_latent_dim
         )
-        template = dict(
-            vae.init(
-                jax.random.PRNGKey(0),
-                jnp_zeros((1, 64, 64, args.out_chan)),
-                rng=None,
+        # Abstract template (shapes only): eager full-size VAE init is
+        # minutes of op-by-op dispatch; restore only needs structure.
+        template = jax.eval_shape(
+            lambda: dict(
+                vae.init(
+                    jax.random.PRNGKey(0),
+                    jnp_zeros((1, 64, 64, args.out_chan)),
+                    rng=None,
+                )
             )
         )
         vae_params = dict(
             load_params(template, Path(args.ldm_vae_weights_path))
         )["params"]
-        # v1 = cross-attention conditioning (latent_diffusion.py);
-        # v2 "Lite" = conditioning-by-addition (ldm2.py).
-        cls = (
-            LatentDiffusionCfdModel
-            if args.model == "latent_diffusion"
-            else LatentDiffusionCfdModelLite
-        )
+        # v1 = cross-attention with learned context projection
+        # (latent_diffusion.py); v2 non-lite = cross-attention with raw
+        # context tokens + memory-lean config (ldm2.py:58-135); Lite =
+        # conditioning-by-addition (ldm2.py:240-430).
+        cls = {
+            "latent_diffusion": LatentDiffusionCfdModel,
+            "latent_diffusion2": LatentDiffusionCfdModel2,
+            "latent_diffusion_lite": LatentDiffusionCfdModelLite,
+            "latent_diffusion2_lite": LatentDiffusionCfdModelLite,
+        }[args.model]
         task = cls(
             loss_fn,
             vae_params,
@@ -185,7 +198,9 @@ def main_auto(argv=None) -> None:
             mask=test_data.masks[:1],
             case_params=test_data.case_params[:1],
         )
-        template = task.init_params(jax.random.PRNGKey(0), sample)
+        template = jax.eval_shape(
+            lambda: task.init_params(jax.random.PRNGKey(0), sample)
+        )
         variables = dict(load_best_params(template, output_dir))
         params = variables.pop("params")
         trainer_auto.test(
@@ -383,7 +398,9 @@ def main_multistep(argv=None) -> None:
             labels=frame0[:1], mask=mask[:1],
             case_params=case_params[:1],
         )
-        template, _ = task.init_variables(jax.random.PRNGKey(0), sample)
+        template = jax.eval_shape(
+            lambda: task.init_variables(jax.random.PRNGKey(0), sample)[0]
+        )
         params = dict(
             load_params({"params": template}, output_dir / "best_model")
         )["params"]
@@ -404,7 +421,9 @@ def main_multistep(argv=None) -> None:
             mask=mask[:1],
             case_params=case_params[:1],
         )
-        template = task.init_params(jax.random.PRNGKey(0), sample)
+        template = jax.eval_shape(
+            lambda: task.init_params(jax.random.PRNGKey(0), sample)
+        )
         variables = dict(load_best_params(template, output_dir))
         params = variables.pop("params")
 
@@ -585,7 +604,9 @@ def main_gencast(argv=None) -> None:
                 case_params=gc_test.case_params,
             ).items()
         }
-        template, _ = task.init_variables(jax.random.PRNGKey(0), sample)
+        template = jax.eval_shape(
+            lambda: task.init_variables(jax.random.PRNGKey(0), sample)[0]
+        )
         params = dict(
             load_params({"params": template}, output_dir / "best_model")
         )["params"]

@@ -431,6 +431,47 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
         return frame
 
 
+class LatentDiffusionCfdModel2(LatentDiffusionCfdModel):
+    """Non-lite LDM2 (``src/models/ldm2.py:58-135``): a *cross-attention*
+    latent UNet with the explicit memory-lean config — no self-attention
+    in the down/up path (reference ``down_block_types=DownBlock2D``),
+    cross-attention in the mid block only, and conditioning tokens fed
+    *raw*: per-pixel ``[u, v ‖ case_params]`` with
+    ``cross_attention_dim = in_chan + n_case_params``
+    (``ldm2.py:125-131``) — unlike v1, no learned context projection.
+
+    Deviation (documented): the reference uses ``attention_head_dim=8``
+    inside HF's UNet2DConditionModel; our mid-block CrossAttnBlock uses
+    4 heads of C/4 dims — same attention structure, different head
+    split.
+    """
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("unet_num_res_blocks", 1)
+        super().__init__(*args, **kwargs)
+
+    def init_variables(self, rng, sample_batch):
+        b = sample_batch["inputs"].shape[0]
+        h = sample_batch["inputs"].shape[1]
+        latent_h = h // 8
+        tokens = self._context_tokens(
+            jnp.asarray(sample_batch["inputs"]),
+            jnp.asarray(sample_batch["case_params"]),
+        )
+        unet_vs = self.unet.init(
+            rng,
+            jnp.zeros((b, latent_h, latent_h, self.latent_dim)),
+            jnp.zeros((b,), jnp.int32),
+            sample_batch["case_params"],
+            context=tokens,
+        )
+        return {"unet": dict(unet_vs)["params"]}, {}
+
+    def _context(self, params, inputs, case_params):
+        # Raw conditioning tokens — no projection (ldm2.py:125-131).
+        return self._context_tokens(inputs, case_params)
+
+
 class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
     """LDM with conditioning-by-addition in latent space (the
     memory-lean production variant, ``src/models/ldm2.py:240-430``)."""

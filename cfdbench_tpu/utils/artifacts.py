@@ -60,7 +60,10 @@ def get_output_dir(args: Args, is_auto: bool = False) -> Path:
         d = f"lr{args.lr}_depth{args.autoffn_depth}"
     elif m == "ffn":
         d = f"lr{args.lr}_width{args.ffn_width}_depth{args.ffn_depth}"
-    elif m in ("latent_diffusion", "latent_diffusion2"):
+    elif m in (
+        "latent_diffusion", "latent_diffusion2",
+        "latent_diffusion_lite", "latent_diffusion2_lite",
+    ):
         d = (
             f"lr{args.lr}_latentdim{args.ldm_latent_dim}"
             f"_steps{args.ldm_noise_scheduler_timesteps}"

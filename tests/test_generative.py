@@ -168,6 +168,50 @@ def test_gencast_wrapper_and_task(synth_root, rng):
     assert nxt.shape == batch["inputs"].shape
 
 
+def test_latent_diffusion2_nonlite_raw_context(rng):
+    """Non-lite LDM2 (src/models/ldm2.py:58-135): cross-attention UNet
+    conditioned on *raw* per-pixel [u,v ‖ case_params] tokens (no
+    learned projection), memory-lean config."""
+    from cfdbench_tpu.models.diffusion import LatentDiffusionCfdModel2
+    from cfdbench_tpu.models.vae import make_cfd_vae
+
+    vae = make_cfd_vae("lite", 2, 2, 4)
+    x16 = jnp.zeros((1, 16, 16, 2))
+    vae_params = dict(vae.init(jax.random.PRNGKey(0), x16, rng=None))[
+        "params"
+    ]
+    task = LatentDiffusionCfdModel2(
+        loss_name_to_fn("nmse"), vae_params,
+        unet_base_channels=32, unet_channel_mult=(1,),
+        noise_scheduler_timesteps=100,
+    )
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32),
+        mask=jnp.ones((2, 16, 16, 1)),
+        case_params=jnp.zeros((2, 5)),
+        weights=jnp.ones((2,)),
+    )
+    params, _ = task.init_variables(jax.random.PRNGKey(0), batch)
+    # No learned context projection — params hold only the UNet.
+    assert set(params) == {"unet"}
+    obj, _ = task.loss_scores(
+        params, batch, train=True, rng=jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(obj))
+    # Cross-attention conditioning on the input frame matters.
+    batch2 = dict(batch, inputs=batch["inputs"] * 3.0)
+    obj2, _ = task.loss_scores(
+        params, batch2, train=True, rng=jax.random.PRNGKey(1)
+    )
+    assert abs(float(obj) - float(obj2)) > 1e-7
+    task.num_inference_steps = 3
+    frame = task.predict_frame(
+        params, batch["inputs"], batch["case_params"], batch["mask"]
+    )
+    assert frame.shape == (2, 16, 16, 2)
+
+
 def test_latent_diffusion_v1_cross_attention(rng):
     from cfdbench_tpu.models.diffusion import LatentDiffusionCfdModel
     from cfdbench_tpu.models.vae import make_cfd_vae
