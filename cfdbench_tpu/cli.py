@@ -505,6 +505,7 @@ def main_vae(argv=None) -> None:
         early_stopping_patience=args.early_stopping_patience,
         early_stopping_delta=args.early_stopping_delta,
         seed=args.seed,
+        mesh=_mesh(args),
     )
 
 
@@ -589,6 +590,7 @@ def main_gencast(argv=None) -> None:
             grad_accum_steps=args.gradient_accumulation_steps,
             seed=args.seed,
             max_eval_batches=args.max_eval_batches,
+            mesh=_mesh(args),
         )
     if "test" in args.mode:
         from .training.checkpoints import load_params

@@ -23,6 +23,7 @@ import optax
 from ..data.pipeline import batches, num_batches
 from ..data.wrapper import GenCastDataset
 from ..models.diffusion import GenCastCfdModel
+from ..parallel.mesh import batch_sharding, replicated_sharding
 from ..utils.artifacts import dump_json
 from . import checkpoints
 
@@ -88,6 +89,7 @@ def train_gencast(
     resume: bool = True,
     max_eval_batches: int = 100,
     frame_eval_batches: int = 4,
+    mesh=None,
 ) -> Any:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -99,11 +101,27 @@ def train_gencast(
         weight_decay=weight_decay,
         grad_accum_steps=grad_accum_steps,
     )
+    pad_mult = mesh.shape["data"] if mesh is not None else 1
+
+    def put(batch):
+        if mesh is not None:
+            return jax.device_put(batch, batch_sharding(mesh))
+        return batch
 
     arrays = dataset_arrays(train_data)
     sample = {k: v[:2] for k, v in arrays.items()}
     params, _ = task.init_variables(jax.random.PRNGKey(seed), sample)
+    if mesh is not None:
+        # DP batches + TP-sharded large kernels over the model axis;
+        # optimizer state inherits the param shardings.
+        from ..parallel.sharding_rules import shard_params
+
+        params = shard_params(params, mesh)
     state = GenCastState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    if mesh is not None:
+        state = state._replace(
+            step=jax.device_put(state.step, replicated_sharding(mesh))
+        )
 
     start_epoch = 0
     best_nmse = np.inf
@@ -113,12 +131,19 @@ def train_gencast(
         from ..data.core import load_json
 
         meta = load_json(meta_path)
+        state_shardings = (
+            jax.tree.map(lambda x: x.sharding, state)
+            if mesh is not None else None
+        )
         state = checkpoints.load_params(
             jax.device_get(state), resume_dir
         )
         state = GenCastState(*state) if not isinstance(
             state, GenCastState
         ) else state
+        if state_shardings is not None:
+            # Restore the dp/tp shardings the fresh state carried.
+            state = jax.device_put(state, state_shardings)
         start_epoch = meta["epoch"] + 1
         best_nmse = meta["best_nmse"]
         print(f"Resumed from epoch {meta['epoch']} (best {best_nmse:.4e})")
@@ -151,8 +176,11 @@ def train_gencast(
         _, (scores, _) = task.loss_scores(
             params, batch, train=False, rng=jax.random.PRNGKey(0)
         )
+        w = batch.get("weights")
         labels = batch["labels"] * batch["mask"]
-        input_scores = task.loss_fn(batch["inputs"] * batch["mask"], labels)
+        input_scores = task.loss_fn(
+            batch["inputs"] * batch["mask"], labels, sample_weights=w
+        )
         return jnp.stack(
             [
                 jnp.stack([scores[k] for k in names]),
@@ -171,7 +199,10 @@ def train_gencast(
             batch["case_params"], batch["mask"],
         )
         labels = batch["labels"] * batch["mask"]
-        scores = task.loss_fn(frame * batch["mask"], labels)
+        scores = task.loss_fn(
+            frame * batch["mask"], labels,
+            sample_weights=batch.get("weights"),
+        )
         return jnp.stack([scores[k] for k in names])
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -181,9 +212,12 @@ def train_gencast(
     for ep in range(start_epoch, num_epochs):
         rng = np.random.default_rng(seed * 104729 + ep)
         for i, batch in enumerate(
-            batches(arrays, batch_size, shuffle=True, rng=rng)
+            batches(
+                arrays, batch_size, shuffle=True, rng=rng,
+                pad_multiple=pad_mult,
+            )
         ):
-            state, scores, gnorm = train_step(state, batch)
+            state, scores, gnorm = train_step(state, put(batch))
             if (i + 1) % log_interval == 0:
                 print(
                     dict(
@@ -199,11 +233,12 @@ def train_gencast(
             for i, batch in enumerate(
                 batches(
                     dataset_arrays(dev_data), eval_batch_size,
-                    shuffle=False,
+                    shuffle=False, pad_multiple=pad_mult,
                 )
             ):
                 if max_eval_batches and i >= max_eval_batches:
                     break
+                batch = put(batch)
                 rows.append(eval_step(state.params, batch))
                 if frame_eval_batches and i < frame_eval_batches:
                     frame_rows.append(frame_eval_step(state.params, batch))
@@ -274,9 +309,14 @@ def test_gencast(
             params, batch["inputs"], batch["inputs_prev"],
             batch["case_params"], batch["mask"],
         )
+        w = batch.get("weights")
         labels = batch["labels"] * batch["mask"]
-        scores = task.loss_fn(frame * batch["mask"], labels)
-        input_scores = task.loss_fn(batch["inputs"] * batch["mask"], labels)
+        scores = task.loss_fn(
+            frame * batch["mask"], labels, sample_weights=w
+        )
+        input_scores = task.loss_fn(
+            batch["inputs"] * batch["mask"], labels, sample_weights=w
+        )
         return (
             jnp.stack(
                 [

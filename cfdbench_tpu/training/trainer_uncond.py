@@ -23,6 +23,7 @@ import optax
 from ..data.pipeline import batches
 from ..models.punetg import PUNetGCFD
 from ..ops.diffusion import ddpm_sample, make_ddpm_scheduler
+from ..parallel.mesh import batch_sharding
 from ..utils.artifacts import dump_json
 from . import checkpoints
 
@@ -45,9 +46,11 @@ def train_uncond_ddpm(
     ema_decay: float = 0.9999,
     sample_every: int = 10,
     seed: int = 0,
+    mesh=None,
 ) -> Any:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    pad_mult = mesh.shape["data"] if mesh is not None else 1
     N, H, W, C = frames.shape
     scheduler = make_ddpm_scheduler(timesteps)
     unet = PUNetGCFD(
@@ -64,13 +67,17 @@ def train_uncond_ddpm(
         )
     )["params"]
     tx = optax.adamw(lr)
+    if mesh is not None:
+        from ..parallel.sharding_rules import shard_params
+
+        params = shard_params(params, mesh)
     state = UncondState(
         params, params, tx.init(params), jnp.zeros((), jnp.int32)
     )
     base_rng = jax.random.PRNGKey(seed + 99)
 
     @jax.jit
-    def train_step(state: UncondState, x):
+    def train_step(state: UncondState, x, w):
         rng = jax.random.fold_in(base_rng, state.step)
         nkey, tkey, dkey = jax.random.split(rng, 3)
         noise = jax.random.normal(nkey, x.shape, x.dtype)
@@ -83,7 +90,8 @@ def train_uncond_ddpm(
                 jnp.zeros((x.shape[0], 1), x.dtype),
                 train=True, rngs={"dropout": dkey},
             )
-            return jnp.mean(jnp.square(eps - noise))
+            per = jnp.mean(jnp.square(eps - noise), axis=(1, 2, 3))
+            return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         loss, grads = jax.value_and_grad(lf)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -99,9 +107,12 @@ def train_uncond_ddpm(
     for ep in range(num_epochs):
         rng = np.random.default_rng(seed * 65537 + ep)
         for batch in batches(
-            dict(x=frames), batch_size, shuffle=True, rng=rng
+            dict(x=frames), batch_size, shuffle=True, rng=rng,
+            pad_multiple=pad_mult,
         ):
-            state, loss = train_step(state, jnp.asarray(batch["x"]))
+            if mesh is not None:
+                batch = jax.device_put(batch, batch_sharding(mesh))
+            state, loss = train_step(state, batch["x"], batch["weights"])
             losses.append(float(loss))
         print(
             f"ep {ep}: loss={np.mean(losses[-10:]):.5f} "

@@ -22,6 +22,7 @@ import optax
 from ..data.pipeline import batches
 from ..data.vae_data import VaeDataset
 from ..models.vae import AutoencoderKL
+from ..parallel.mesh import batch_sharding
 from ..utils.artifacts import dump_json, plot_loss
 from . import checkpoints
 
@@ -32,23 +33,29 @@ class VaeState(NamedTuple):
     step: jnp.ndarray
 
 
+def _wmean(per_sample, w):
+    """Mean over valid (weight-1) samples — padded rows excluded."""
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def make_steps(vae: AutoencoderKL, tx, seed: int):
     base_rng = jax.random.PRNGKey(seed + 31337)
 
-    def loss_parts(params, frames, kl_weight, rng):
+    def loss_parts(params, frames, w, kl_weight, rng, train):
         recon, posterior = vae.apply(
-            {"params": params}, frames, rng=rng, train=True
+            {"params": params}, frames, rng=rng, train=train
         )
-        recon_loss = jnp.mean(jnp.square(recon - frames))
-        kl_loss = jnp.mean(posterior.kl())
+        per_recon = jnp.mean(jnp.square(recon - frames), axis=(1, 2, 3))
+        recon_loss = _wmean(per_recon, w)
+        kl_loss = _wmean(posterior.kl(), w)
         return recon_loss + kl_weight * kl_loss, (recon_loss, kl_loss)
 
     @jax.jit
-    def train_step(state: VaeState, frames, kl_weight):
+    def train_step(state: VaeState, frames, w, kl_weight):
         rng = jax.random.fold_in(base_rng, state.step)
 
         def lf(params):
-            return loss_parts(params, frames, kl_weight, rng)
+            return loss_parts(params, frames, w, kl_weight, rng, True)
 
         (loss, (recon, kl)), grads = jax.value_and_grad(
             lf, has_aux=True
@@ -61,17 +68,12 @@ def make_steps(vae: AutoencoderKL, tx, seed: int):
         )
 
     @jax.jit
-    def eval_step(params, frames, kl_weight):
-        recon, posterior = vae.apply(
-            {"params": params}, frames, rng=None, train=False
-        )  # mean latent, like the reference's validation pass
-        recon_loss = jnp.mean(jnp.square(recon - frames))
-        kl_loss = jnp.mean(posterior.kl())
-        return dict(
-            total=recon_loss + kl_weight * kl_loss,
-            recon=recon_loss,
-            kl=kl_loss,
+    def eval_step(params, frames, w, kl_weight):
+        # mean latent, like the reference's validation pass
+        loss, (recon_loss, kl_loss) = loss_parts(
+            params, frames, w, kl_weight, None, False
         )
+        return dict(total=loss, recon=recon_loss, kl=kl_loss)
 
     return train_step, eval_step
 
@@ -93,9 +95,16 @@ def train_vae(
     early_stopping_patience: int = 20,
     early_stopping_delta: float = 1e-5,
     seed: int = 0,
+    mesh=None,
 ) -> Any:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    pad_mult = mesh.shape["data"] if mesh is not None else 1
+
+    def put(batch):
+        if mesh is not None:
+            return jax.device_put(batch, batch_sharding(mesh))
+        return batch
     if weight_decay > 0:
         inner = optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr, weight_decay=weight_decay
@@ -108,6 +117,10 @@ def train_vae(
     params = dict(
         vae.init(jax.random.PRNGKey(seed), sample, rng=None)
     )["params"]
+    if mesh is not None:
+        from ..parallel.sharding_rules import shard_params
+
+        params = shard_params(params, mesh)
     state = VaeState(params, tx.init(params), jnp.zeros((), jnp.int32))
     train_step, eval_step = make_steps(vae, tx, seed)
 
@@ -134,10 +147,11 @@ def train_vae(
         rng = np.random.default_rng(seed * 7919 + ep)
         for batch in batches(
             dict(frames=train_data.frames), batch_size, shuffle=True,
-            rng=rng,
+            rng=rng, pad_multiple=pad_mult,
         ):
+            batch = put(batch)
             state, losses = train_step(
-                state, jnp.asarray(batch["frames"]), w
+                state, batch["frames"], batch["weights"], w
             )
             for k in ("total", "recon", "kl"):
                 history[f"train_{k}"].append(float(losses[k]))
@@ -146,9 +160,13 @@ def train_vae(
         # validation (mean latent)
         vals = {"total": [], "recon": [], "kl": []}
         for batch in batches(
-            dict(frames=dev_data.frames), batch_size, shuffle=False
+            dict(frames=dev_data.frames), batch_size, shuffle=False,
+            pad_multiple=pad_mult,
         ):
-            losses = eval_step(state.params, jnp.asarray(batch["frames"]), w)
+            batch = put(batch)
+            losses = eval_step(
+                state.params, batch["frames"], batch["weights"], w
+            )
             for k in vals:
                 vals[k].append(float(losses[k]))
         val_total = float(np.mean(vals["total"]))

@@ -62,6 +62,129 @@ def test_dp_tp_matches_single_device(rng):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_unet_tp_matches_single_device(rng):
+    """UNet (BatchNorm model) under dp×tp: batch stats are computed over
+    the whole logically-global batch inside one jitted program, so TP/DP
+    sharding must not change the numerics."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cfdbench_tpu.models.unet import UNet
+
+    model = UNet(in_chan=2, out_chan=2, n_case_params=5, dim=4)
+    task = AutoTask(model, loss_name_to_fn("nmse"))
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32),
+        mask=jnp.ones((8, 16, 16, 1), jnp.float32),
+        case_params=jnp.asarray(rng.standard_normal((8, 5)), jnp.float32),
+        weights=jnp.ones((8,), jnp.float32),
+    )
+    def grads_of(mesh):
+        params, mstate = task.init_variables(jax.random.PRNGKey(0), batch)
+        b = batch
+        if mesh is not None:
+            params = shard_params(params, mesh, min_size=1024)
+            b = jax.device_put(b, batch_sharding(mesh))
+
+        def lf(p):
+            return task.loss_scores(
+                p, b, model_state=mstate, train=True,
+                rng=jax.random.PRNGKey(3),
+            )
+
+        g, (scores, _) = jax.jit(jax.grad(lf, has_aux=True))(params)
+        return jax.device_get(g), float(scores["nmse"])
+
+    # Compare loss + gradients (post-Adam params are not a meaningful
+    # parity target: noise-level grads flip sign under Adam's eps
+    # normalization, moving params by ±lr).
+    g_single, l_single = grads_of(None)
+    for spec in ("8", "4x2"):
+        g_mesh, l_mesh = grads_of(make_mesh(spec))
+        assert np.isclose(l_single, l_mesh, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_mesh)):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_gencast_dp_matches_single_device(rng):
+    """GenCast trainer step under pure DP matches single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import optax
+
+    from cfdbench_tpu.models.diffusion import GenCastCfdModel
+    from cfdbench_tpu.parallel.sharding_rules import shard_params
+
+    task = GenCastCfdModel(
+        loss_name_to_fn("nmse"),
+        residual_mean=np.zeros(2, np.float32),
+        residual_std=np.ones(2, np.float32),
+        n_case_params=5, base_channels=8, num_res_blocks=1,
+        noise_scheduler_timesteps=20, dropout=0.0,
+    )
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32),
+        inputs_prev=jnp.asarray(
+            rng.standard_normal((8, 16, 16, 2)), jnp.float32
+        ),
+        labels=jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32),
+        mask=jnp.ones((8, 16, 16, 1), jnp.float32),
+        case_params=jnp.asarray(rng.standard_normal((8, 5)), jnp.float32),
+        weights=jnp.ones((8,), jnp.float32),
+    )
+    del optax  # loss/grad parity is the meaningful check (see UNet test)
+
+    def grads_of(mesh):
+        params, _ = task.init_variables(jax.random.PRNGKey(0), batch)
+        b = batch
+        if mesh is not None:
+            params = shard_params(params, mesh, min_size=1024)
+            b = jax.device_put(b, batch_sharding(mesh))
+
+        @jax.jit
+        def gfn(params, b):
+            def lf(p):
+                return task.loss_scores(
+                    p, b, train=True, rng=jax.random.PRNGKey(7)
+                )
+
+            return jax.grad(lf, has_aux=True)(params)
+
+        grads, (scores, _) = gfn(params, b)
+        return jax.device_get(grads), float(scores["nmse"])
+
+    g_single, l_single = grads_of(None)
+    g_dp, l_dp = grads_of(make_mesh("8"))
+    assert np.isclose(l_single, l_dp, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_spec_for_non_divisible_falls_back_replicated():
+    """Weights whose output axis does not divide the model-axis size
+    must fall back to replication (sharding_rules fallback paths)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cfdbench_tpu.parallel.sharding_rules import _spec_for
+
+    class A:
+        def __init__(self, shape):
+            self.shape = shape
+            self.ndim = len(shape)
+            self.size = int(np.prod(shape))
+
+    # Dense kernel with non-divisible Cout → replicated.
+    assert _spec_for(A((4096, 7)), model_size=2, min_size=1024) == P()
+    # Divisible Cout → sharded on the trailing axis.
+    assert _spec_for(A((4096, 8)), model_size=2, min_size=1024) != P()
+    # Spectral (2,2,Cin,Cout,m1,m2) with odd Cout → replicated.
+    assert (
+        _spec_for(A((2, 2, 8, 7, 4, 4)), model_size=2, min_size=16) == P()
+    )
+    # Small tensors below min_size → replicated regardless.
+    assert _spec_for(A((8, 8)), model_size=2, min_size=1024) == P()
+
+
 def test_tp_actually_shards(rng):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -10,7 +10,7 @@ Usage:
 
 from pathlib import Path
 
-from cfdbench_tpu.cli import _apply_runtime_flags
+from cfdbench_tpu.cli import _apply_runtime_flags, _mesh
 from cfdbench_tpu.config import Args
 from cfdbench_tpu.data import get_auto_dataset
 from cfdbench_tpu.training.trainer_uncond import train_uncond_ddpm
@@ -41,6 +41,7 @@ def main():
         timesteps=args.ldm_noise_scheduler_timesteps,
         base_channels=args.pixel_diffusion_base_channels,
         seed=args.seed,
+        mesh=_mesh(args),
     )
 
 
