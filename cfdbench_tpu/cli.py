@@ -190,6 +190,10 @@ def main_auto(argv=None) -> None:
             ),
             plot_examples=bool(args.plot_train_examples),
         )
+        if args.measure_time:
+            # measure_time is a micro-bench: print ms/step and stop
+            # (reference exits the process, src/train.py:94-100).
+            return
     if "test" in args.mode:
         args.save(output_dir / "test_args.json")
         sample = dict(
@@ -264,6 +268,8 @@ def main_train(argv=None) -> None:
             mesh=mesh,
             measure_time=bool(args.measure_time),
         )
+        if args.measure_time:
+            return
     if "test" in args.mode:
         args.save(output_dir / "test_args.json")
         sample = dict(

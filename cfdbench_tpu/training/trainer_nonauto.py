@@ -144,27 +144,31 @@ def evaluate(
         eval_step = make_eval_step(task, (H, W))
     pad_mult = mesh.shape["data"] if mesh is not None else 1
     names = task.loss_fn.get_score_names()
-    scores = {kk: [] for kk in names}
+    score_rows = []  # device (n_names,) vectors; one transfer at the end
     all_preds = []
+    n_valids = []
     start = time.time()
     n_batches = 0
     for batch in batches(
         dataset_arrays(data), batch_size, shuffle=False,
         pad_multiple=pad_mult,
     ):
+        n_valids.append(int(batch["weights"].sum()))
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding(mesh))
         s, preds = eval_step(params, batch)
-        n_valid = int(batch["weights"].sum())
-        for kk in names:
-            scores[kk].append(float(s[kk]))
+        score_rows.append(jnp.stack([s[kk] for kk in names]))
         if collect_preds:
-            all_preds.append(np.asarray(preds)[:n_valid])
+            all_preds.append(preds)
         n_batches += 1
+    mat = np.asarray(jnp.stack(score_rows))  # single device→host sync
     if measure_time:
-        jax.block_until_ready(preds)
-        dt = 1000 * (time.time() - start) / n_batches
+        dt = 1000 * (time.time() - start) / max(n_batches, 1)
         print(f"Time per step: {dt:.3f} ms")
+    scores = {kk: mat[:, i].tolist() for i, kk in enumerate(names)}
+    if collect_preds and all_preds:
+        stacked = np.asarray(jnp.stack(all_preds))
+        all_preds = [p[:nv] for p, nv in zip(stacked, n_valids)]
     avg = {kk: float(np.mean(v)) for kk, v in scores.items()}
     for kk, v in avg.items():
         print(f"{kk}: {v}")
@@ -253,7 +257,9 @@ def train(
                     )
                 )
         if measure_time:
-            jax.block_until_ready(state.params)
+            from ..utils.timing import force_completion
+
+            force_completion(state.params)
             print("Time usage:")
             print(time.time() - ep_start)
             return state
