@@ -1,0 +1,318 @@
+#!/usr/bin/env python
+"""Generate golden forward-parity fixtures from the reference models.
+
+Dev-time-only tool (requires the read-only reference checkout at
+``/root/reference``): instantiates the reference's torch models on CPU
+with fixed seeds, runs one forward pass on fixed inputs, converts the
+torch weights to this repo's flax parameter trees, and writes
+``tests/golden/<model>.npz`` fixtures. The committed fixtures make
+``tests/test_golden_parity.py`` hermetic — the reference is never
+imported at test time.
+
+Weight-mapping conventions (torch → flax/NHWC):
+- Linear ``(out, in)`` → Dense kernel ``(in, out)`` (transpose)
+- Conv2d ``(out, in, kh, kw)`` → Conv kernel ``(kh, kw, in, out)``
+- 1×1 Conv2d → Dense kernel ``w[:, :, 0, 0].T``
+- ConvTranspose2d ``(in, out, kh, kw)`` → ConvTranspose kernel
+  ``(kh, kw, in, out)`` with both spatial axes flipped (numerically
+  probed: lax.conv_transpose does not flip the kernel, torch's
+  gradient-of-conv does — exact match on CPU after the flip)
+- SpectralConv2d_fast complex ``weights1/weights2`` ``(in, out, m1, m2)``
+  → real ``(corner, re/im, in, out, m1, m2)``
+- BatchNorm2d weight/bias → scale/bias params; running stats →
+  ``batch_stats`` collection.
+
+Usage: python scripts/make_golden.py [--out tests/golden]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import torch
+
+REFERENCE_SRC = Path("/root/reference/src")
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+B, H, W, P = 2, 16, 16, 5
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def lin(sd, key):
+    """torch Linear → our Dense wrapper subtree."""
+    return {
+        "Dense_0": {
+            "kernel": t2n(sd[f"{key}.weight"]).T,
+            "bias": t2n(sd[f"{key}.bias"]),
+        }
+    }
+
+
+def conv1x1_as_dense(sd, key):
+    return {
+        "Dense_0": {
+            "kernel": t2n(sd[f"{key}.weight"])[:, :, 0, 0].T,
+            "bias": t2n(sd[f"{key}.bias"]),
+        }
+    }
+
+
+def conv(sd, key):
+    """torch Conv2d → our Conv wrapper subtree (NHWC kernel)."""
+    return {
+        "Conv_0": {
+            "kernel": t2n(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+            "bias": t2n(sd[f"{key}.bias"]),
+        }
+    }
+
+
+def bn(sd, key):
+    params = {
+        "scale": t2n(sd[f"{key}.weight"]),
+        "bias": t2n(sd[f"{key}.bias"]),
+    }
+    stats = {
+        "mean": t2n(sd[f"{key}.running_mean"]),
+        "var": t2n(sd[f"{key}.running_var"]),
+    }
+    return params, stats
+
+
+def mlp(sd, key, n_linear):
+    """Reference Ffn (Sequential of Linear/act) → our Mlp subtree."""
+    out = {}
+    for j in range(n_linear):
+        out[f"Dense_{j}"] = lin(sd, f"{key}.layers.{2 * j}")
+    return out
+
+
+def flatten(tree, prefix, out):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flatten(v, f"{prefix}{k}|", out)
+        else:
+            out[f"{prefix}{k}"] = np.asarray(v)
+
+
+def save_case(name, params, stats, inputs_nhwc, case_params, mask_nhwc,
+              expected_nhwc, out_dir):
+    data = {}
+    flatten(params, "P|", data)
+    if stats:
+        flatten(stats, "S|", data)
+    data["input"] = inputs_nhwc
+    data["case_params"] = case_params
+    data["mask"] = mask_nhwc
+    data["expected"] = expected_nhwc
+    out = Path(out_dir) / f"{name}.npz"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out, **data)
+    print(f"wrote {out} ({len(data)} arrays, "
+          f"expected mean {np.abs(expected_nhwc).mean():.4f})")
+
+
+def fixed_inputs(rng, in_chan=2):
+    inputs = rng.standard_normal((B, in_chan, H, W)).astype(np.float32)
+    case_params = rng.standard_normal((B, P)).astype(np.float32)
+    mask = np.ones((B, H, W), np.float32)
+    mask[:, 5:9, 6:11] = 0.0  # exercise the masking path
+    return inputs, case_params, mask
+
+
+def make_fno(out_dir):
+    from models.fno.fno2d import Fno2d  # noqa: reference import
+    from models.loss import MseLoss
+
+    torch.manual_seed(7)
+    m = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        num_layers=2, modes1=4, modes2=4, hidden_dim=8,
+    ).eval()
+    rng = np.random.default_rng(42)
+    inputs, case_params, mask = fixed_inputs(rng)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask),
+        )["preds"]
+    sd = m.state_dict()
+    params = {
+        "Dense_0": conv1x1_as_dense(sd, "fc0"),
+        "Dense_1": conv1x1_as_dense(sd, "fc1"),
+        "Dense_2": conv1x1_as_dense(sd, "fc2"),
+    }
+    for i in range(2):
+        w1 = t2n(sd[f"blocks.{i}.conv0.weights1"])
+        w2 = t2n(sd[f"blocks.{i}.conv0.weights2"])
+        spectral = np.stack(
+            [
+                np.stack([w1.real, w1.imag]),
+                np.stack([w2.real, w2.imag]),
+            ]
+        ).astype(np.float32)  # (corner, re/im, in, out, m1, m2)
+        params[f"FnoBlock_{i}"] = {
+            "SpectralConv2d_0": {"weights": spectral},
+            "Dense_0": conv1x1_as_dense(sd, f"blocks.{i}.w0"),
+        }
+    save_case(
+        "fno", params, {},
+        inputs.transpose(0, 2, 3, 1), case_params, mask[..., None],
+        t2n(out).transpose(0, 2, 3, 1), out_dir,
+    )
+
+
+def map_double_conv(sd, key):
+    p1, s1 = bn(sd, f"{key}.conv1.1")
+    p2, s2 = bn(sd, f"{key}.conv2.1")
+    params = {
+        "Conv_0": conv(sd, f"{key}.conv1.0"),
+        "BatchNorm_0": p1,
+        "Conv_1": conv(sd, f"{key}.conv2.0"),
+        "BatchNorm_1": p2,
+    }
+    stats = {"BatchNorm_0": s1, "BatchNorm_1": s2}
+    return params, stats
+
+
+def make_unet(out_dir, insert_at):
+    from models.loss import MseLoss
+    from models.unet import UNet
+
+    torch.manual_seed(11)
+    m = UNet(
+        in_chan=2, out_chan=2, loss_fn=MseLoss(True), n_case_params=P,
+        insert_case_params_at=insert_at, bilinear=False, dim=4,
+    ).eval()
+    rng = np.random.default_rng(43)
+    inputs, case_params, mask = fixed_inputs(rng)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask),
+        )["preds"]
+    sd = m.state_dict()
+    params, stats = {}, {}
+    p, s = map_double_conv(sd, "in_conv")
+    params["DoubleConv_0"], stats["DoubleConv_0"] = p, s
+    for i in range(4):
+        p, s = map_double_conv(sd, f"down{i + 1}.maxpool_conv.1")
+        params[f"Down_{i}"] = {"DoubleConv_0": p}
+        stats[f"Down_{i}"] = {"DoubleConv_0": s}
+    if insert_at == "hidden":
+        params["Dense_0"] = lin(sd, "case_params_fc")
+    for i in range(4):
+        tw = t2n(sd[f"up{i + 1}.up.weight"])  # (in, out, kh, kw)
+        p, s = map_double_conv(sd, f"up{i + 1}.conv")
+        params[f"Up_{i}"] = {
+            "ConvTranspose_0": {
+                "kernel": np.ascontiguousarray(
+                    tw.transpose(2, 3, 0, 1)[::-1, ::-1]
+                ),
+                "bias": t2n(sd[f"up{i + 1}.up.bias"]),
+            },
+            "DoubleConv_0": p,
+        }
+        stats[f"Up_{i}"] = {"DoubleConv_0": s}
+    params["Conv_0"] = conv(sd, "out_conv.conv")
+    save_case(
+        f"unet_{insert_at}", params, stats,
+        inputs.transpose(0, 2, 3, 1), case_params, mask[..., None],
+        t2n(out).transpose(0, 2, 3, 1), out_dir,
+    )
+
+
+def map_res_block(sd, key, use_1x1conv):
+    # Ours: Conv_0 = 1x1 projection (when present), then hidden conv,
+    # then out conv — flax names follow call order.
+    out = {}
+    idx = 0
+    if use_1x1conv:
+        out[f"Conv_{idx}"] = conv(sd, f"{key}.res_conv")
+        idx += 1
+    out[f"Conv_{idx}"] = conv(sd, f"{key}.conv1")
+    out[f"Conv_{idx + 1}"] = conv(sd, f"{key}.conv2")
+    return out
+
+
+def make_resnet(out_dir):
+    from models.loss import MseLoss
+    from models.resnet import ResNet
+
+    torch.manual_seed(13)
+    m = ResNet(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        hidden_chan=8, num_blocks=2, kernel_size=5, padding=2,
+    ).eval()
+    rng = np.random.default_rng(44)
+    inputs, case_params, mask = fixed_inputs(rng)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask),
+        )["preds"]
+    sd = m.state_dict()
+    params = {
+        "ResidualBlock_0": map_res_block(sd, "blocks.0", True),
+        "ResidualBlock_1": map_res_block(sd, "blocks.1", False),
+        "ResidualBlock_2": map_res_block(sd, "blocks.2", False),
+        "ResidualBlock_3": map_res_block(sd, "blocks.3", True),
+    }
+    save_case(
+        "resnet", params, {},
+        inputs.transpose(0, 2, 3, 1), case_params, mask[..., None],
+        t2n(out).transpose(0, 2, 3, 1), out_dir,
+    )
+
+
+def make_auto_deeponet(out_dir):
+    from models.auto_deeponet import AutoDeepONet
+    from models.loss import MseLoss
+
+    torch.manual_seed(17)
+    depth = 2
+    m = AutoDeepONet(
+        branch_dim=H * W + P, trunk_dim=2, loss_fn=MseLoss(True),
+        branch_depth=depth, trunk_depth=depth, width=16, act_name="relu",
+    ).eval()
+    rng = np.random.default_rng(45)
+    inputs, case_params, mask = fixed_inputs(rng)
+    with torch.no_grad():
+        out = m.generate(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask),
+        )  # (B, 1, H, W)
+    sd = m.state_dict()
+    params = {
+        "Mlp_0": mlp(sd, "branch_net", depth),
+        "Mlp_1": mlp(sd, "trunk_net", depth),
+        "bias": t2n(sd["bias"]),
+    }
+    save_case(
+        "auto_deeponet", params, {},
+        inputs.transpose(0, 2, 3, 1), case_params, mask[..., None],
+        t2n(out).transpose(0, 2, 3, 1), out_dir,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO_ROOT / "tests" / "golden"))
+    args = ap.parse_args()
+    assert REFERENCE_SRC.exists(), "reference checkout not found"
+    sys.path.insert(0, str(REFERENCE_SRC))
+    make_fno(args.out)
+    make_unet(args.out, "input")
+    make_unet(args.out, "hidden")
+    make_resnet(args.out)
+    make_auto_deeponet(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Golden-output forward parity against the reference torch models.
+
+Fixtures in ``tests/golden/*.npz`` were produced by
+``scripts/make_golden.py``: the reference models (torch, CPU, eval mode,
+fixed seeds) were run on fixed inputs and their weights converted to
+this repo's flax parameter trees. These tests are hermetic — they never
+import the reference — and prove forward-pass numerical equivalence,
+the strongest parity evidence available without the real dataset.
+
+Tolerance: 2e-5 absolute. Differences come from op-order (NHWC vs NCHW
+convs, DFT-matmul vs rfft2 spectral path) in f32.
+"""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden"
+ATOL = 2e-5
+
+
+def load_case(name):
+    data = dict(np.load(GOLDEN / f"{name}.npz"))
+    params, stats = {}, {}
+
+    def insert(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for key, value in data.items():
+        if key.startswith("P|"):
+            insert(params, key[2:].split("|"), value)
+        elif key.startswith("S|"):
+            insert(stats, key[2:].split("|"), value)
+    return (
+        params,
+        stats,
+        data["input"],
+        data["case_params"],
+        data["mask"],
+        data["expected"],
+    )
+
+
+def check(model, name, **apply_kwargs):
+    params, stats, inputs, case_params, mask, expected = load_case(name)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    out = model.apply(
+        variables, inputs, case_params, mask, train=False, **apply_kwargs
+    )
+    out = np.asarray(out)
+    if out.shape != expected.shape:  # pointwise models return (B, H*W)
+        out = out.reshape(expected.shape)
+    np.testing.assert_allclose(out, expected, atol=ATOL)
+    return out
+
+
+def test_fno_forward_matches_reference():
+    from cfdbench_tpu.models.fno import Fno2d
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    check(model, "fno")
+
+
+@pytest.mark.parametrize("insert_at", ["input", "hidden"])
+def test_unet_forward_matches_reference(insert_at):
+    from cfdbench_tpu.models.unet import UNet
+
+    model = UNet(
+        in_chan=2, out_chan=2, n_case_params=5,
+        insert_case_params_at=insert_at, dim=4,
+    )
+    check(model, f"unet_{insert_at}")
+
+
+def test_resnet_forward_matches_reference():
+    from cfdbench_tpu.models.resnet import ResNet
+
+    model = ResNet(
+        in_chan=2, out_chan=2, n_case_params=5, hidden_chan=8,
+        num_blocks=2, kernel_size=5, padding=2,
+    )
+    check(model, "resnet")
+
+
+def test_auto_deeponet_forward_matches_reference():
+    from cfdbench_tpu.models.point import AutoDeepONet
+
+    model = AutoDeepONet(
+        branch_dim=16 * 16 + 5, width=16, branch_depth=2, trunk_depth=2,
+        act_name="relu",
+    )
+    check(model, "auto_deeponet")
+
+
+def test_fno_spectral_backends_match_golden():
+    """All three spectral backends reproduce the reference output."""
+    from cfdbench_tpu.models.fno import Fno2d
+    from cfdbench_tpu.ops import spectral
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    params, _, inputs, case_params, mask, expected = load_case("fno")
+    orig = spectral.SPECTRAL_BACKEND
+    try:
+        for backend in ("matmul_packed", "matmul", "fft"):
+            spectral.SPECTRAL_BACKEND = backend
+            out = model.apply(
+                {"params": params}, inputs, case_params, mask
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), expected, atol=ATOL,
+                err_msg=f"backend={backend}",
+            )
+    finally:
+        spectral.SPECTRAL_BACKEND = orig
+
+
+def test_golden_params_load_into_init_structure():
+    """Converted trees are structurally identical to model.init's."""
+    from cfdbench_tpu.models.fno import Fno2d
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    params, _, inputs, case_params, mask, _ = load_case("fno")
+    ref = model.init(
+        jax.random.PRNGKey(0), inputs, case_params, mask
+    )["params"]
+    ref_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(ref)[0]
+    }
+    got_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    assert ref_paths == got_paths
