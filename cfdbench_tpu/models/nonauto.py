@@ -45,6 +45,11 @@ class FfnModel(nn.Module):
             case_params[:, None, :], (B, k, case_params.shape[1])
         )
         inp = jnp.concatenate([cp, coords, tt], axis=-1)  # (B,k,P+3)
+        # Flatten to (B·k, F) before the MLP: the reference applies its
+        # Ffn to the flattened view (``ffn.py:128-135``), so NormAct
+        # normalizes each (sample, query) row over features — not over
+        # (queries, features) jointly.
+        inp = inp.reshape(B * k, -1)
         dims = [inp.shape[-1]] + [self.width] * self.depth + [1]
         out = Mlp(
             dims,
@@ -52,7 +57,7 @@ class FfnModel(nn.Module):
             act_norm=self.act_norm,
             act_on_output=self.act_on_output,
         )(inp)
-        return out[..., 0]
+        return out[..., 0].reshape(B, k)
 
 
 class DeepONet(nn.Module):

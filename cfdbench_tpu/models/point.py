@@ -194,7 +194,11 @@ class AutoDeepONetCnn(nn.Module):
             [x, broadcast_params_to_channels(case_params, H, W)], axis=-1
         )
         code = CnnBranch()(x)  # (B, H/16, W/16, 32)
-        code = code.reshape(B, -1)  # (B, D)
+        # Flatten channel-major (C, i, j) like the reference's
+        # ``x_branch.view(b, -1)`` on NCHW — the code/trunk elementwise
+        # pairing is layout-sensitive, and matching it makes torch
+        # checkpoints convertible (golden parity).
+        code = jnp.transpose(code, (0, 3, 1, 2)).reshape(B, -1)  # (B, D)
         D = code.shape[-1]
         xy = (_lattice_xy(H, W) - 50.0) / 100.0
         t = Mlp(

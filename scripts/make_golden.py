@@ -301,6 +301,183 @@ def make_auto_deeponet(out_dir):
     )
 
 
+def lattice_idxs(h, w):
+    from itertools import product as iproduct
+
+    return np.asarray(list(iproduct(range(h), range(w))), np.float32)
+
+
+def make_ffn_nonauto(out_dir):
+    """Non-auto FFN with the default scale-invariant activation — this
+    exercises NormAct's per-(sample, query)-row normalization."""
+    from models.ffn import FfnModel
+    from models.loss import MseLoss
+
+    torch.manual_seed(19)
+    widths = [P + 3] + [16] * 3 + [1]
+    m = FfnModel(widths=widths, loss_fn=MseLoss(True)).eval()
+    rng = np.random.default_rng(46)
+    case_params = rng.standard_normal((B, P)).astype(np.float32)
+    t = rng.uniform(0, 10, (B, 1)).astype(np.float32)
+    q = lattice_idxs(H, W)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(case_params), torch.tensor(t),
+            query_idxs=torch.tensor(q),
+        )["preds"]  # (B, k)
+    params = {"Mlp_0": mlp(m.state_dict(), "ffn", len(widths) - 1)}
+    data = {}
+    flatten(params, "P|", data)
+    data["case_params"] = case_params
+    data["t"] = t
+    data["query_xy"] = q
+    data["expected"] = t2n(out)
+    np.savez_compressed(Path(out_dir) / "ffn_nonauto.npz", **data)
+    print(f"wrote ffn_nonauto.npz (act_norm path, k={q.shape[0]})")
+
+
+def make_deeponet_nonauto(out_dir):
+    from models.deeponet import DeepONet
+    from models.loss import MseLoss
+
+    torch.manual_seed(23)
+    depth = 3
+    m = DeepONet(
+        branch_dim=P, trunk_dim=3, loss_fn=MseLoss(True),
+        branch_depth=depth, trunk_depth=depth, width=16,
+        act_name="relu", act_norm=True,
+    ).eval()
+    rng = np.random.default_rng(47)
+    case_params = rng.standard_normal((B, P)).astype(np.float32)
+    t = rng.uniform(0, 10, (B, 1)).astype(np.float32)
+    q = lattice_idxs(H, W)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(case_params), torch.tensor(t),
+            query_idxs=torch.tensor(q),
+        )["preds"]
+    sd = m.state_dict()
+    params = {
+        "Mlp_0": mlp(sd, "branch_net", depth),
+        "Dense_0": lin(sd, "fc_trunk_t"),
+        "Dense_1": lin(sd, "fc_trunk_xy"),
+        # trunk Ffn over [w]*depth has depth-1 linears
+        "Mlp_1": mlp(sd, "trunk_net", depth - 1),
+        "bias": t2n(sd["bias"]),
+    }
+    data = {}
+    flatten(params, "P|", data)
+    data["case_params"] = case_params
+    data["t"] = t
+    data["query_xy"] = q
+    data["expected"] = t2n(out)
+    np.savez_compressed(Path(out_dir) / "deeponet_nonauto.npz", **data)
+    print("wrote deeponet_nonauto.npz (act_norm trunk path)")
+
+
+def make_auto_ffn(out_dir):
+    """batch=1: the reference's tiling defect (auto_ffn.py:99-103)
+    scrambles field/query pairing only when batch > 1, so the defect-
+    free pairing is comparable at batch 1."""
+    from models.auto_ffn import AutoFfn
+    from models.loss import MseLoss
+
+    torch.manual_seed(29)
+    depth = 2
+    m = AutoFfn(
+        input_field_dim=H * W, num_case_params=P, query_dim=2,
+        loss_fn=MseLoss(True), depth=depth, width=16,
+    ).eval()
+    rng = np.random.default_rng(48)
+    inputs = rng.standard_normal((1, 2, H, W)).astype(np.float32)
+    case_params = rng.standard_normal((1, P)).astype(np.float32)
+    q = lattice_idxs(H, W)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            query_idxs=torch.tensor(q, dtype=torch.long),
+        )["preds"]  # (1, k)
+    params = {"Mlp_0": mlp(m.state_dict(), "ffn", depth + 1)}
+    mask = np.ones((1, H, W, 1), np.float32)
+    save_case(
+        "auto_ffn", params, {},
+        inputs.transpose(0, 2, 3, 1), case_params, mask,
+        t2n(out)[..., None, None].reshape(1, H, W, 1), out_dir,
+    )
+
+
+def make_auto_edeeponet(out_dir):
+    from models.auto_edeeponet import AutoEDeepONet
+    from models.loss import MseLoss
+
+    torch.manual_seed(31)
+    depth = 2
+    m = AutoEDeepONet(
+        dim_branch1=H * W, dim_branch2=P, trunk_dim=2,
+        loss_fn=MseLoss(True), branch_depth=depth, trunk_depth=depth,
+        width=16, act_name="relu",
+    ).eval()
+    rng = np.random.default_rng(49)
+    inputs = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+    case_params = rng.standard_normal((B, P)).astype(np.float32)
+    with torch.no_grad():
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+        )["preds"]  # (B, k)
+    sd = m.state_dict()
+    params = {
+        "Mlp_0": mlp(sd, "branch1", depth),
+        "Mlp_1": mlp(sd, "branch2", depth),
+        "Mlp_2": mlp(sd, "trunk_net", depth),
+        "bias": t2n(sd["bias"]),
+    }
+    mask = np.ones((B, H, W, 1), np.float32)
+    save_case(
+        "auto_edeeponet", params, {},
+        inputs.transpose(0, 2, 3, 1), case_params, mask,
+        t2n(out).reshape(B, H, W, 1), out_dir,
+    )
+
+
+def make_auto_deeponet_cnn(out_dir):
+    """64×64 grid: the reference hardcodes the 4×4×32 branch-code shape
+    (auto_deeponet_cnn.py trunk_dims), which assumes H=W=64."""
+    from models.auto_deeponet_cnn import AutoDeepONetCnn
+    from models.loss import MseLoss
+
+    h = w = 64
+    torch.manual_seed(37)
+    m = AutoDeepONetCnn(
+        in_chan=2, query_dim=2, loss_fn=MseLoss(True), num_case_params=P,
+        trunk_depth=2,
+    ).eval()
+    rng = np.random.default_rng(50)
+    inputs = rng.standard_normal((1, 2, h, w)).astype(np.float32)
+    case_params = rng.standard_normal((1, P)).astype(np.float32)
+    mask = np.ones((1, h, w), np.float32)
+    mask[:, 20:30, 25:40] = 0.0
+    with torch.no_grad():
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask),
+        )["preds"]  # (1, k)
+    sd = m.state_dict()
+    branch = {"Conv_0": conv(sd, "branch_net.in_conv")}
+    for i in range(4):
+        branch[f"Conv_{i + 1}"] = conv(sd, f"branch_net.blocks.{3 * i}")
+    branch["Conv_5"] = conv(sd, "branch_net.out_conv")
+    params = {
+        "CnnBranch_0": branch,
+        "Mlp_0": mlp(sd, "trunk_net", 3),  # [2]+[100]*2+[512]: 3 linears
+        "Mlp_1": mlp(sd, "out_ffn", 3),
+    }
+    save_case(
+        "auto_deeponet_cnn", params, {},
+        inputs.transpose(0, 2, 3, 1), case_params, mask[..., None],
+        t2n(out).reshape(1, h, w, 1), out_dir,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO_ROOT / "tests" / "golden"))
@@ -312,6 +489,11 @@ def main():
     make_unet(args.out, "hidden")
     make_resnet(args.out)
     make_auto_deeponet(args.out)
+    make_ffn_nonauto(args.out)
+    make_deeponet_nonauto(args.out)
+    make_auto_ffn(args.out)
+    make_auto_edeeponet(args.out)
+    make_auto_deeponet_cnn(args.out)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,79 @@ def test_auto_deeponet_forward_matches_reference():
     check(model, "auto_deeponet")
 
 
+def test_auto_ffn_forward_matches_reference():
+    """Batch 1 (the reference's tiling defect only scrambles pairing at
+    batch > 1, so batch 1 is the defect-free comparable case)."""
+    from cfdbench_tpu.models.point import AutoFfn
+
+    model = AutoFfn(
+        input_field_dim=16 * 16, num_case_params=5, width=16, depth=2,
+    )
+    check(model, "auto_ffn")
+
+
+def test_auto_edeeponet_forward_matches_reference():
+    from cfdbench_tpu.models.point import AutoEDeepONet
+
+    model = AutoEDeepONet(
+        dim_branch1=16 * 16, dim_branch2=5, width=16,
+        branch_depth=2, trunk_depth=2, act_name="relu",
+    )
+    check(model, "auto_edeeponet")
+
+
+def test_auto_deeponet_cnn_forward_matches_reference():
+    from cfdbench_tpu.models.point import AutoDeepONetCnn
+
+    model = AutoDeepONetCnn(in_chan=2, num_case_params=5, trunk_depth=2)
+    check(model, "auto_deeponet_cnn")
+
+
+def _load_nonauto(name):
+    data = dict(np.load(GOLDEN / f"{name}.npz"))
+    params = {}
+
+    def insert(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for key, value in data.items():
+        if key.startswith("P|"):
+            insert(params, key[2:].split("|"), value)
+    return (
+        params, data["case_params"], data["t"], data["query_xy"],
+        data["expected"],
+    )
+
+
+def test_ffn_nonauto_forward_matches_reference():
+    """Exercises the scale-invariant NormAct path: normalization must be
+    per (sample, query) row over features, like the reference's
+    flattened-view Ffn (``src/models/ffn.py:128-135``)."""
+    from cfdbench_tpu.models.nonauto import FfnModel
+
+    model = FfnModel(n_case_params=5, width=16, depth=3, act_norm=True)
+    params, case_params, t, q, expected = _load_nonauto("ffn_nonauto")
+    out = model.apply({"params": params}, case_params, t, q)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=ATOL)
+
+
+def test_deeponet_nonauto_forward_matches_reference():
+    from cfdbench_tpu.models.nonauto import DeepONet
+
+    model = DeepONet(
+        n_case_params=5, width=16, branch_depth=3, trunk_depth=3,
+        act_name="relu", act_norm=True,
+    )
+    params, case_params, t, q, expected = _load_nonauto(
+        "deeponet_nonauto"
+    )
+    out = model.apply({"params": params}, case_params, t, q)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=ATOL)
+
+
 def test_fno_spectral_backends_match_golden():
     """All three spectral backends reproduce the reference output."""
     from cfdbench_tpu.models.fno import Fno2d
