@@ -445,6 +445,16 @@ def main_multistep(argv=None) -> None:
                 stochastic=True,
                 seed=args.seed,
             )
+        elif args.use_pallas_head and args.model == "fno":
+            from .models.fno import fno2d_apply_pallas_head
+
+            model = task.model
+            rollout = make_rollout_fn(
+                lambda p, f, cp, m: fno2d_apply_pallas_head(
+                    model, p, f, cp, m
+                ),
+                steps=infer_steps,
+            )
         else:
             rollout = make_rollout_fn(
                 lambda p, f, cp, m: task.predict_frame(

@@ -153,6 +153,11 @@ class Args:
     """Write an ``example.png`` (input/label/pred) at each eval epoch
     (reference plots one on the first step of every epoch,
     ``src/train_auto.py:234-250``)."""
+    use_pallas_head: int = 0
+    """FNO only: run the model head (fc1→GELU→fc2→mask) as a fused
+    Pallas kernel in rollout/inference paths (ops/pallas_fno.py). The
+    numerics equal the XLA path (unit-tested); see bench.py's
+    rollout_fps_pallas_head_* for measured XLA-vs-Pallas timings."""
     matmul_precision: str = "default"
     """XLA matmul precision: 'default' (bf16 multiplies, f32 accumulate
     — fastest on TPU), 'high', or 'highest' (full f32, for numerical

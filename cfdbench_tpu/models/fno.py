@@ -107,6 +107,62 @@ class Fno2d(nn.Module):
         return preds * mask
 
 
+def fno2d_apply_pallas_head(
+    model: Fno2d, params, inputs, case_params, mask=None,
+    batch_tile: int = 1, interpret: bool = False,
+):
+    """Forward pass with the XLA lift+blocks and the *head* (fc1 → GELU
+    → fc2 → mask) executed as one Pallas kernel
+    (``ops.pallas_fno.fused_fno_head``): the (B, H, W, 128) fc1
+    intermediate stays in VMEM instead of round-tripping HBM. This is
+    the subset of the fused-FNO design that the restricted Mosaic
+    backend in this environment can compile (see ops/pallas_fno.py).
+
+    ``batch_tile`` rows are processed per kernel instance (grid-tiled),
+    enlarging the MXU matmul to (tile·H·W, C). Equality with the plain
+    XLA path is unit-tested in interpret mode.
+    """
+    from ..ops.pallas_fno import fused_fno_head
+
+    B, H, W, _ = inputs.shape
+    mask = ensure_mask(mask, B, H, W)
+    x = jnp.concatenate(
+        [
+            inputs,
+            mask,
+            coord_channels(B, H, W, inputs.dtype),
+            broadcast_params_to_channels(case_params, H, W),
+        ],
+        axis=-1,
+    )
+
+    def dense(p, x):
+        inner = p["Dense_0"]
+        return x @ inner["kernel"] + inner["bias"]
+
+    x = dense(params["Dense_0"], x)  # fc0
+    for i in range(model.num_layers):
+        blk = params[f"FnoBlock_{i}"]
+        from ..ops.spectral import spectral_conv2d
+
+        x1 = spectral_conv2d(
+            x, blk["SpectralConv2d_0"]["weights"],
+            model.modes1, model.modes2,
+        )
+        x2 = dense(blk["Dense_0"], x)
+        x = nn.gelu(x1 + x2, approximate=False)
+    return fused_fno_head(
+        x,
+        params["Dense_1"]["Dense_0"]["kernel"],
+        params["Dense_1"]["Dense_0"]["bias"],
+        params["Dense_2"]["Dense_0"]["kernel"],
+        params["Dense_2"]["Dense_0"]["bias"],
+        mask,
+        batch_tile=batch_tile,
+        interpret=interpret,
+    )
+
+
 def fno2d_apply_pallas(
     model: Fno2d, params, inputs, case_params, mask=None,
     interpret: bool = False,

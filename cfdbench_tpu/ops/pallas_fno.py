@@ -207,11 +207,12 @@ def fused_fno_block(
 
 
 def _head_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, mask_ref,
-                 out_ref, *, H, W, C):
+                 out_ref, *, T, H, W, C):
     """fc1 → GELU → fc2 → mask in one VMEM pass (Fno2d head,
-    ``fno2d.py:228-233``). Only 2-D dots and major-dim reshapes —
-    compiles on the restricted Mosaic backend."""
-    h = x_ref[0].reshape(H * W, C)
+    ``fno2d.py:228-233``) over a tile of ``T`` batch rows. Only 2-D
+    dots and major-dim reshapes — compiles on the restricted Mosaic
+    backend; tiling enlarges the MXU matmul to (T·H·W, C)."""
+    h = x_ref[:].reshape(T * H * W, C)
     h = jnp.dot(h, k1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
     # exact GELU via rational erf (see module docstring)
@@ -235,21 +236,31 @@ def _head_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, mask_ref,
     h = 0.5 * h * (1.0 + erf_z)
     h = jnp.dot(h, k2_ref[:], preferred_element_type=jnp.float32)
     h = h + b2_ref[:]
-    out_ref[0] = h.reshape(H, W, -1) * mask_ref[0]
+    out_ref[:] = h.reshape(T, H, W, -1) * mask_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_fno_head(x, k1, b1, k2, b2, mask, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("batch_tile", "interpret")
+)
+def fused_fno_head(x, k1, b1, k2, b2, mask, batch_tile: int = 1,
+                   interpret: bool = False):
     """x: (B, H, W, C); k1: (C, 128); k2: (128, out); mask: (B, H, W, 1)
-    → (B, H, W, out), masked. Compiles and runs on the axon backend."""
+    → (B, H, W, out), masked. Compiles and runs on the axon backend.
+
+    ``batch_tile`` batch rows per kernel instance (must divide B):
+    larger tiles mean bigger MXU matmuls and fewer grid steps at the
+    cost of VMEM (tile·H·W·(C+128+out)·4 bytes of activations).
+    """
     B, H, W, C = x.shape
+    T = batch_tile
+    assert B % T == 0, f"batch {B} not divisible by tile {T}"
     out_ch = k2.shape[-1]
-    kernel = functools.partial(_head_kernel, H=H, W=W, C=C)
+    kernel = functools.partial(_head_kernel, T=T, H=H, W=W, C=C)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // T,),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((T, H, W, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(k1.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -259,11 +270,11 @@ def fused_fno_head(x, k1, b1, k2, b2, mask, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(b2.shape, lambda b: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, 1), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((T, H, W, 1), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, H, W, out_ch), lambda b: (b, 0, 0, 0),
+            (T, H, W, out_ch), lambda b: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, out_ch), jnp.float32),

@@ -37,8 +37,38 @@ def test_fused_head_matches_xla(rng):
     m = np.ones((B, H, W, 1), np.float32)
     m[:, 2:4] = 0
     m = jnp.asarray(m)
-    out = fused_fno_head(x, k1, b1, k2, b2, m, interpret=True)
     h = jnp.einsum("bhwc,cd->bhwd", x, k1) + b1
     h = jax.nn.gelu(h, approximate=False)
     ref = (jnp.einsum("bhwd,de->bhwe", h, k2) + b2) * m
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    for tile in (1, 2):  # grid-tiled multi-batch variant too
+        out = fused_fno_head(
+            x, k1, b1, k2, b2, m, batch_tile=tile, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-6,
+            err_msg=f"batch_tile={tile}",
+        )
+
+
+def test_pallas_head_forward_matches_xla(rng):
+    """Full forward with the Pallas head (XLA lift+blocks + fused head)
+    equals the plain linen apply — same checkpoint drives both paths."""
+    from cfdbench_tpu.models.fno import fno2d_apply_pallas_head
+
+    model = Fno2d(num_layers=2, hidden_dim=8, modes1=4, modes2=4)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 2)), jnp.float32)
+    cp = jnp.asarray(rng.standard_normal((4, 5)), jnp.float32)
+    m = np.ones((4, 16, 16, 1), np.float32)
+    m[:, 3:5, 3:5] = 0
+    m = jnp.asarray(m)
+    vs = model.init(jax.random.PRNGKey(0), x, cp, m)
+    ref = model.apply(vs, x, cp, m)
+    for tile in (1, 2, 4):
+        out = fno2d_apply_pallas_head(
+            model, vs["params"], x, cp, m, batch_tile=tile,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"batch_tile={tile}",
+        )
