@@ -301,6 +301,96 @@ def make_auto_deeponet(out_dir):
     )
 
 
+def grads_as_sd(model):
+    """named_parameters' .grad under state_dict-style keys, so the same
+    weight-mapping helpers convert gradients (all mappings are
+    transposes/slices/stacks — linear, so they apply to grads too).
+    torch's .grad for complex params is (dL/dRe) + i(dL/dIm), which
+    matches our real-pair [re, im] layout directly."""
+    return {k: p.grad for k, p in model.named_parameters()}
+
+
+def make_fno_grads(out_dir):
+    """Gradient parity: d(nmse)/d(params) for the FNO on a fixed batch.
+    The loss is the reference's in-forward masked nmse
+    (``src/models/fno/fno2d.py:232-237`` + ``loss.py:22-37``)."""
+    from models.fno.fno2d import Fno2d
+    from models.loss import MseLoss
+
+    torch.manual_seed(7)
+    m = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        num_layers=2, modes1=4, modes2=4, hidden_dim=8,
+    ).eval()
+    rng = np.random.default_rng(42)
+    inputs, case_params, mask = fixed_inputs(rng)
+    label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+    out = m(
+        torch.tensor(inputs), torch.tensor(case_params),
+        mask=torch.tensor(mask), label=torch.tensor(label),
+    )
+    out["loss"]["nmse"].backward()
+    sd = grads_as_sd(m)
+    grads = {
+        "Dense_0": conv1x1_as_dense(sd, "fc0"),
+        "Dense_1": conv1x1_as_dense(sd, "fc1"),
+        "Dense_2": conv1x1_as_dense(sd, "fc2"),
+    }
+    for i in range(2):
+        w1 = t2n(sd[f"blocks.{i}.conv0.weights1"])
+        w2 = t2n(sd[f"blocks.{i}.conv0.weights2"])
+        grads[f"FnoBlock_{i}"] = {
+            "SpectralConv2d_0": {
+                "weights": np.stack(
+                    [
+                        np.stack([w1.real, w1.imag]),
+                        np.stack([w2.real, w2.imag]),
+                    ]
+                ).astype(np.float32)
+            },
+            "Dense_0": conv1x1_as_dense(sd, f"blocks.{i}.w0"),
+        }
+    data = {}
+    flatten(grads, "G|", data)
+    data["label"] = label.transpose(0, 2, 3, 1)
+    data["loss_nmse"] = np.float32(out["loss"]["nmse"].item())
+    out_path = Path(out_dir) / "fno_grads.npz"
+    np.savez_compressed(out_path, **data)
+    print(f"wrote {out_path} (loss={data['loss_nmse']:.6f})")
+
+
+def make_resnet_grads(out_dir):
+    from models.loss import MseLoss
+    from models.resnet import ResNet
+
+    torch.manual_seed(13)
+    m = ResNet(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        hidden_chan=8, num_blocks=2, kernel_size=5, padding=2,
+    ).eval()
+    rng = np.random.default_rng(44)
+    inputs, case_params, mask = fixed_inputs(rng)
+    label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+    out = m(
+        torch.tensor(inputs), torch.tensor(case_params),
+        mask=torch.tensor(mask), label=torch.tensor(label),
+    )
+    out["loss"]["nmse"].backward()
+    sd = grads_as_sd(m)
+    grads = {
+        "ResidualBlock_0": map_res_block(sd, "blocks.0", True),
+        "ResidualBlock_1": map_res_block(sd, "blocks.1", False),
+        "ResidualBlock_2": map_res_block(sd, "blocks.2", False),
+        "ResidualBlock_3": map_res_block(sd, "blocks.3", True),
+    }
+    data = {}
+    flatten(grads, "G|", data)
+    data["label"] = label.transpose(0, 2, 3, 1)
+    data["loss_nmse"] = np.float32(out["loss"]["nmse"].item())
+    np.savez_compressed(Path(out_dir) / "resnet_grads.npz", **data)
+    print(f"wrote resnet_grads.npz (loss={data['loss_nmse']:.6f})")
+
+
 def lattice_idxs(h, w):
     from itertools import product as iproduct
 
@@ -494,6 +584,8 @@ def main():
     make_auto_ffn(args.out)
     make_auto_edeeponet(args.out)
     make_auto_deeponet_cnn(args.out)
+    make_fno_grads(args.out)
+    make_resnet_grads(args.out)
 
 
 if __name__ == "__main__":

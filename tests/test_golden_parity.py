@@ -14,6 +14,7 @@ convs, DFT-matmul vs rfft2 spectral path) in f32.
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -198,6 +199,73 @@ def test_fno_spectral_backends_match_golden():
             )
     finally:
         spectral.SPECTRAL_BACKEND = orig
+
+
+def _load_grads(name):
+    data = dict(np.load(GOLDEN / f"{name}.npz"))
+    grads = {}
+
+    def insert(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for key, value in data.items():
+        if key.startswith("G|"):
+            insert(grads, key[2:].split("|"), value)
+    return grads, data["label"], float(data["loss_nmse"])
+
+
+def _grad_check(model, case, grad_case, atol=3e-5):
+    """loss value + d(nmse)/d(params) match the reference's autograd on
+    a fixed batch — training-dynamics parity, one level deeper than
+    forward parity."""
+    from cfdbench_tpu.metrics import loss_name_to_fn
+
+    params, _, inputs, case_params, mask, _ = load_case(case)
+    exp_grads, label, exp_loss = _load_grads(grad_case)
+    loss_fn = loss_name_to_fn("nmse")
+
+    def lf(p):
+        preds = model.apply(
+            {"params": p}, inputs, case_params, mask, train=False
+        )
+        return loss_fn(preds, jnp.asarray(label) * jnp.asarray(mask))[
+            "nmse"
+        ]
+
+    loss, grads = jax.value_and_grad(lf)(params)
+    assert np.isclose(float(loss), exp_loss, rtol=1e-5)
+    flat_got = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flat_exp = jax.tree_util.tree_flatten_with_path(exp_grads)[0]
+    assert len(flat_got) == len(flat_exp)
+    for (pg, g), (pe, e) in zip(flat_got, flat_exp):
+        assert jax.tree_util.keystr(pg) == jax.tree_util.keystr(pe)
+        np.testing.assert_allclose(
+            np.asarray(g), e, atol=atol,
+            err_msg=jax.tree_util.keystr(pg),
+        )
+
+
+def test_fno_grads_match_reference():
+    from cfdbench_tpu.models.fno import Fno2d
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    _grad_check(model, "fno", "fno_grads")
+
+
+def test_resnet_grads_match_reference():
+    from cfdbench_tpu.models.resnet import ResNet
+
+    model = ResNet(
+        in_chan=2, out_chan=2, n_case_params=5, hidden_chan=8,
+        num_blocks=2, kernel_size=5, padding=2,
+    )
+    _grad_check(model, "resnet", "resnet_grads")
 
 
 def test_golden_params_load_into_init_structure():
