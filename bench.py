@@ -90,8 +90,21 @@ def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
     return float(np.median(times))
 
 
-def worker_rollout(batch, steps=20):
+def worker_rollout(batch, steps=20, dtype="float32"):
+    """``dtype="bfloat16"`` additionally stores params/activations in
+    bf16 (multiplies are bf16 on TPU either way; this halves HBM
+    traffic at the cost of activation precision — measured +6% at
+    b128, so storage bandwidth is not the dominant bottleneck)."""
+    import jax
+    import jax.numpy as jnp
+
     task, params, frame0, case_params, mask = _setup(batch)
+    if dtype != "float32":
+        dt = jnp.dtype(dtype)
+        params = jax.tree.map(lambda x: x.astype(dt), params)
+        frame0, case_params, mask = (
+            frame0.astype(dt), case_params.astype(dt), mask.astype(dt)
+        )
     t_long = _timed_scan(task, params, frame0, case_params, mask, 4 * steps)
     t_short = _timed_scan(task, params, frame0, case_params, mask, steps)
     marginal = (t_long - t_short) / (3 * steps)
@@ -328,6 +341,12 @@ def main():
     )
     details["rollout_fps_f32_b128"] = (
         round(f32["frames_per_sec"], 1) if f32 else None
+    )
+    bf16s = run_worker_subprocess(
+        dict(kind="rollout", batch=128, dtype="bfloat16")
+    )
+    details["rollout_fps_bf16_storage_b128"] = (
+        round(bf16s["frames_per_sec"], 1) if bf16s else None
     )
 
     train = run_worker_subprocess(dict(kind="train", batch=128))
