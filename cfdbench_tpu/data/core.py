@@ -31,6 +31,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from .fast_io import load_npy
+
 # Hardcoded normalization stats (``src/dataset/utils.py:8-28``).
 DENSITY_MEAN, DENSITY_STD = 5.0, 4.0
 VISCOSITY_MEAN, VISCOSITY_STD = 0.00238, 0.005
@@ -112,8 +114,8 @@ def _stack_nhwc(u: np.ndarray, v: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 def load_case_cavity(case_dir: Path) -> CaseData:
     params = load_json(case_dir / "case.json")
-    u = np.load(case_dir / "u.npy")
-    v = np.load(case_dir / "v.npy")
+    u = load_npy(case_dir / "u.npy")
+    v = load_npy(case_dir / "v.npy")
     mask = np.ones_like(u)
     return CaseData(_stack_nhwc(u, v, mask), params)
 
@@ -135,8 +137,8 @@ def _pad_tube_like(u, v, mask, left_u_value):
 
 def load_case_tube(case_dir: Path) -> CaseData:
     params = load_json(case_dir / "case.json")
-    u = np.load(case_dir / "u.npy")
-    v = np.load(case_dir / "v.npy")
+    u = load_npy(case_dir / "u.npy")
+    v = load_npy(case_dir / "v.npy")
     mask = np.ones_like(u)
     u, v, mask = _pad_tube_like(u, v, mask, params["vel_in"])
     return CaseData(_stack_nhwc(u, v, mask), params)
@@ -144,8 +146,8 @@ def load_case_tube(case_dir: Path) -> CaseData:
 
 def load_case_dam(case_dir: Path, fix_barrier_mask: bool = False) -> CaseData:
     params = load_json(case_dir / "case.json")
-    u = np.load(case_dir / "u.npy")
-    v = np.load(case_dir / "v.npy")
+    u = load_npy(case_dir / "u.npy")
+    v = load_npy(case_dir / "v.npy")
     mask = np.ones_like(u)
 
     barrier_left = 0.5
@@ -180,8 +182,8 @@ def load_case_dam(case_dir: Path, fix_barrier_mask: bool = False) -> CaseData:
 def load_case_cylinder(case_dir: Path) -> CaseData:
     """Active cylinder loader (``load_case_data_fix``, cylinder.py:194-282)."""
     params = load_json(case_dir / "case.json")
-    u = np.load(case_dir / "u.npy")
-    v = np.load(case_dir / "v.npy")
+    u = load_npy(case_dir / "u.npy")
+    v = load_npy(case_dir / "v.npy")
 
     x_min, x_max = params["x_min"], params["x_max"]
     y_min, y_max = params["y_min"], params["y_max"]

@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from .fast_io import prefetch_case_uv
 from .core import (
     DATA_DELTA_TIME,
     CaseData,
@@ -219,6 +220,9 @@ def build_auto_dataset(
     all_features: List[np.ndarray] = []
     params_list: List[Dict[str, float]] = []
 
+    # One parallel native batch-read of every case's u/v files (no-op
+    # without the compiled library; data/fast_io.py).
+    prefetch_case_uv(case_dirs)
     for case_id, case_dir in enumerate(case_dirs):
         case = load_case(problem, Path(case_dir))
         features = case.features  # (T, H, W, 3)
@@ -286,6 +290,7 @@ def build_frame_dataset(
     keys = FRAME_PARAM_KEYS[problem]
     frames, frame_t, params_rows, case_ids = [], [], [], []
     params_list: List[Dict[str, float]] = []
+    prefetch_case_uv(case_dirs)
     for case_id, case_dir in enumerate(case_dirs):
         case = load_case(problem, Path(case_dir))
         normalize_case_params(problem, case.params, norm_props, norm_bc)
