@@ -87,9 +87,11 @@ class CrossAttnBlock(nn.Module):
     """Spatial-query cross-attention over a conditioning sequence
     (the mechanism HF ``UNet2DConditionModel`` uses for
     ``encoder_hidden_states`` in the reference's LDM v1,
-    ``src/models/latent_diffusion.py:79-89``)."""
+    ``src/models/latent_diffusion.py:79-89``). Head count follows the
+    reference's ``attention_head_dim=8`` convention
+    (``src/models/ldm2.py:70``): heads = channels // head_dim."""
 
-    num_heads: int = 4
+    head_dim: int = 8
 
     @nn.compact
     def __call__(self, x, context):
@@ -99,7 +101,7 @@ class CrossAttnBlock(nn.Module):
         q = Dense(C)(h.reshape(B, H * W, C))
         k = Dense(C)(context)
         v = Dense(C)(context)
-        nh = self.num_heads
+        nh = max(1, C // self.head_dim)
         hd = C // nh
         q = q.reshape(B, H * W, nh, hd)
         k = k.reshape(B, -1, nh, hd)

@@ -391,6 +391,71 @@ def make_resnet_grads(out_dir):
     print(f"wrote resnet_grads.npz (loss={data['loss_nmse']:.6f})")
 
 
+def make_fno_sgd_trajectory(out_dir, n_steps=5, lr=1e-2):
+    """Training-trajectory parity: n_steps of plain SGD on the masked
+    nmse loss over two alternating fixed batches. Records per-step
+    losses and the final parameters (converted). SGD isolates gradient
+    dynamics from optimizer-implementation differences."""
+    from models.fno.fno2d import Fno2d
+    from models.loss import MseLoss
+
+    torch.manual_seed(7)
+    m = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        num_layers=2, modes1=4, modes2=4, hidden_dim=8,
+    ).eval()
+    rng = np.random.default_rng(42)
+    batches = []
+    for _ in range(2):
+        inputs, case_params, mask = fixed_inputs(rng)
+        label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+        batches.append((inputs, case_params, mask, label))
+    opt = torch.optim.SGD(m.parameters(), lr=lr)
+    losses = []
+    for step in range(n_steps):
+        inputs, case_params, mask, label = batches[step % 2]
+        opt.zero_grad()
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask), label=torch.tensor(label),
+        )
+        loss = out["loss"]["nmse"]
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    sd = m.state_dict()
+    final = {
+        "Dense_0": conv1x1_as_dense(sd, "fc0"),
+        "Dense_1": conv1x1_as_dense(sd, "fc1"),
+        "Dense_2": conv1x1_as_dense(sd, "fc2"),
+    }
+    for i in range(2):
+        w1 = t2n(sd[f"blocks.{i}.conv0.weights1"])
+        w2 = t2n(sd[f"blocks.{i}.conv0.weights2"])
+        final[f"FnoBlock_{i}"] = {
+            "SpectralConv2d_0": {
+                "weights": np.stack(
+                    [
+                        np.stack([w1.real, w1.imag]),
+                        np.stack([w2.real, w2.imag]),
+                    ]
+                ).astype(np.float32)
+            },
+            "Dense_0": conv1x1_as_dense(sd, f"blocks.{i}.w0"),
+        }
+    data = {}
+    flatten(final, "F|", data)
+    for j, (inputs, case_params, mask, label) in enumerate(batches):
+        data[f"b{j}_input"] = inputs.transpose(0, 2, 3, 1)
+        data[f"b{j}_case_params"] = case_params
+        data[f"b{j}_mask"] = mask[..., None]
+        data[f"b{j}_label"] = label.transpose(0, 2, 3, 1)
+    data["losses"] = np.asarray(losses, np.float32)
+    data["lr"] = np.float32(lr)
+    np.savez_compressed(Path(out_dir) / "fno_sgd_trajectory.npz", **data)
+    print(f"wrote fno_sgd_trajectory.npz (losses={losses})")
+
+
 def lattice_idxs(h, w):
     from itertools import product as iproduct
 
@@ -586,6 +651,7 @@ def main():
     make_auto_deeponet_cnn(args.out)
     make_fno_grads(args.out)
     make_resnet_grads(args.out)
+    make_fno_sgd_trajectory(args.out)
 
 
 if __name__ == "__main__":

@@ -268,6 +268,66 @@ def test_resnet_grads_match_reference():
     _grad_check(model, "resnet", "resnet_grads")
 
 
+def test_fno_sgd_trajectory_matches_reference():
+    """5 steps of plain SGD on the masked nmse over two alternating
+    batches: per-step losses and final params must track the
+    reference's torch training trajectory (training-dynamics parity)."""
+    import optax
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.fno import Fno2d
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    params, _, _, _, _, _ = load_case("fno")  # converted init weights
+    data = dict(np.load(GOLDEN / "fno_sgd_trajectory.npz"))
+    exp_final = {}
+
+    def insert(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for key, value in data.items():
+        if key.startswith("F|"):
+            insert(exp_final, key[2:].split("|"), value)
+    loss_fn = loss_name_to_fn("nmse")
+    tx = optax.sgd(float(data["lr"]))
+    opt_state = tx.init(params)
+
+    def lf(p, b):
+        preds = model.apply(
+            {"params": p}, data[f"b{b}_input"],
+            data[f"b{b}_case_params"], data[f"b{b}_mask"], train=False,
+        )
+        return loss_fn(
+            preds,
+            jnp.asarray(data[f"b{b}_label"])
+            * jnp.asarray(data[f"b{b}_mask"]),
+        )["nmse"]
+
+    exp_losses = data["losses"]
+    for step in range(len(exp_losses)):
+        loss, grads = jax.value_and_grad(lf)(params, step % 2)
+        assert np.isclose(float(loss), exp_losses[step], rtol=1e-5), (
+            step, float(loss), exp_losses[step]
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    flat_got = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_exp = jax.tree_util.tree_flatten_with_path(exp_final)[0]
+    for (pg, g), (pe, e) in zip(flat_got, flat_exp):
+        assert jax.tree_util.keystr(pg) == jax.tree_util.keystr(pe)
+        np.testing.assert_allclose(
+            np.asarray(g), e, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pg),
+        )
+
+
 def test_golden_params_load_into_init_structure():
     """Converted trees are structurally identical to model.init's."""
     from cfdbench_tpu.models.fno import Fno2d
