@@ -633,6 +633,82 @@ def make_auto_deeponet_cnn(out_dir):
     )
 
 
+def make_dataset_goldens(out_dir):
+    """Loader parity: run the *reference's* dataset classes on the same
+    deterministic synthetic case tree the test suite uses (identical
+    generator parameters as tests/conftest.py's ``synth_root``) and
+    record the packed (inputs, labels, mask, case_params, case_ids)
+    splits. tests/test_golden_parity.py rebuilds the tree and compares
+    this repo's loaders element-for-element — covers pair slicing,
+    convergence truncation, BC padding, masks, and normalization."""
+    import sys as _sys
+    import tempfile
+
+    _sys.path.insert(0, str(REPO_ROOT))
+    from cfdbench_tpu.data.synthetic import generate_all
+
+    from dataset.cavity import CavityFlowAutoDataset
+    from dataset.cylinder import CylinderFlowAutoDataset
+    from dataset.dam import DamFlowAutoDataset
+    from dataset.tube import TubeFlowAutoDataset
+
+    root = Path(tempfile.mkdtemp()) / "synth"
+    generate_all(root, cases_per_subset=4, num_frames=12, grid=16, seed=0)
+
+    classes = dict(
+        cavity=CavityFlowAutoDataset,
+        tube=TubeFlowAutoDataset,
+        dam=DamFlowAutoDataset,
+        cylinder=CylinderFlowAutoDataset,
+    )
+    for problem, cls in classes.items():
+        case_dirs = sorted(
+            (root / problem / "prop").glob("case*"),
+            key=lambda x: int(x.name[4:]),
+        ) + sorted(
+            (root / problem / "bc").glob("case*"),
+            key=lambda x: int(x.name[4:]),
+        )
+        if problem == "cylinder":
+            # data_delta_time=0.001 → delta 0.002 gives stride 2 on the
+            # 12-frame synthetic cases; cache goes to a throwaway dir.
+            ds = cls(
+                case_dirs, norm_props=True, norm_bc=True,
+                delta_time=0.002, split="golden",
+                cache_dir=Path(tempfile.mkdtemp()) / "cyl_cache",
+            )
+        else:
+            ds = cls(case_dirs, norm_props=True, norm_bc=True)
+        inputs = t2n(ds.inputs)  # (N, 3, h, w)
+        labels = t2n(ds.labels)
+        # The train collate splits channels (src/train_auto.py:33-58).
+        data = dict(
+            inputs=inputs[:, :2].transpose(0, 2, 3, 1),
+            mask=inputs[:, 2:].transpose(0, 2, 3, 1),
+            labels=labels[:, :2].transpose(0, 2, 3, 1),
+            case_ids=np.asarray(ds.case_ids),
+            case_params=np.stack(
+                [
+                    np.asarray(
+                        [
+                            v for k, v in p.items()
+                            if k not in ("rotated", "dx", "dy")
+                        ],
+                        np.float32,
+                    )
+                    for p in [ds.case_params[c] for c in ds.case_ids]
+                ]
+            ),
+        )
+        np.savez_compressed(
+            Path(out_dir) / f"dataset_{problem}.npz", **data
+        )
+        print(
+            f"wrote dataset_{problem}.npz "
+            f"({inputs.shape[0]} pairs from {len(case_dirs)} cases)"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO_ROOT / "tests" / "golden"))
@@ -652,6 +728,7 @@ def main():
     make_fno_grads(args.out)
     make_resnet_grads(args.out)
     make_fno_sgd_trajectory(args.out)
+    make_dataset_goldens(args.out)
 
 
 if __name__ == "__main__":

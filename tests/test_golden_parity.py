@@ -328,6 +328,39 @@ def test_fno_sgd_trajectory_matches_reference():
         )
 
 
+@pytest.mark.parametrize("problem", ["cavity", "tube", "dam", "cylinder"])
+def test_dataset_loader_matches_reference(problem, synth_root):
+    """This repo's packed AutoDataset must reproduce the reference's
+    Dataset classes element-for-element on the same raw case tree
+    (pair slicing, convergence cutoff, BC padding, masks, param
+    normalization + vector order). The golden was produced by running
+    the reference's ``*FlowAutoDataset`` on an identical deterministic
+    synthetic tree (scripts/make_golden.py::make_dataset_goldens)."""
+    from cfdbench_tpu.data.datasets import build_auto_dataset
+
+    data = dict(np.load(GOLDEN / f"dataset_{problem}.npz"))
+    case_dirs = sorted(
+        (synth_root / problem / "prop").glob("case*"),
+        key=lambda x: int(x.name[4:]),
+    ) + sorted(
+        (synth_root / problem / "bc").glob("case*"),
+        key=lambda x: int(x.name[4:]),
+    )
+    ds = build_auto_dataset(
+        problem, case_dirs, norm_props=True, norm_bc=True,
+        # cylinder: data_delta_time=0.001 → stride 2 on 12-frame cases
+        delta_time=0.002 if problem == "cylinder" else 0.1,
+    )
+    assert len(ds) == data["inputs"].shape[0]
+    np.testing.assert_allclose(ds.inputs, data["inputs"], atol=1e-6)
+    np.testing.assert_allclose(ds.labels, data["labels"], atol=1e-6)
+    np.testing.assert_allclose(ds.masks, data["mask"], atol=1e-6)
+    np.testing.assert_array_equal(ds.case_ids, data["case_ids"])
+    np.testing.assert_allclose(
+        ds.case_params, data["case_params"], atol=1e-6
+    )
+
+
 def test_golden_params_load_into_init_structure():
     """Converted trees are structurally identical to model.init's."""
     from cfdbench_tpu.models.fno import Fno2d
