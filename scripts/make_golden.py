@@ -633,6 +633,44 @@ def make_auto_deeponet_cnn(out_dir):
     )
 
 
+def make_fno_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
+    """Same trajectory protocol with torch.optim.Adam — the optimizer
+    the trainers actually use (Adam lr 1e-4..1e-3 + StepLR,
+    ``src/train_auto.py:229``). torch updates complex params as real
+    re/im pairs, matching the real-pair spectral layout."""
+    from models.fno.fno2d import Fno2d
+    from models.loss import MseLoss
+
+    torch.manual_seed(7)
+    m = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        num_layers=2, modes1=4, modes2=4, hidden_dim=8,
+    ).eval()
+    rng = np.random.default_rng(42)
+    batches = []
+    for _ in range(2):
+        inputs, case_params, mask = fixed_inputs(rng)
+        label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+        batches.append((inputs, case_params, mask, label))
+    opt = torch.optim.Adam(m.parameters(), lr=lr)
+    losses = []
+    for step in range(n_steps):
+        inputs, case_params, mask, label = batches[step % 2]
+        opt.zero_grad()
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask), label=torch.tensor(label),
+        )
+        loss = out["loss"]["nmse"]
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    data = {"losses": np.asarray(losses, np.float32),
+            "lr": np.float32(lr)}
+    np.savez_compressed(Path(out_dir) / "fno_adam_trajectory.npz", **data)
+    print(f"wrote fno_adam_trajectory.npz (losses={losses})")
+
+
 def make_dataset_goldens(out_dir):
     """Loader parity: run the *reference's* dataset classes on the same
     deterministic synthetic case tree the test suite uses (identical
@@ -728,6 +766,7 @@ def main():
     make_fno_grads(args.out)
     make_resnet_grads(args.out)
     make_fno_sgd_trajectory(args.out)
+    make_fno_adam_trajectory(args.out)
     make_dataset_goldens(args.out)
 
 

@@ -361,6 +361,46 @@ def test_dataset_loader_matches_reference(problem, synth_root):
     )
 
 
+def test_fno_adam_trajectory_matches_reference():
+    """Same 5-step trajectory with Adam — the optimizer the trainers
+    use. optax.adam (b1=.9, b2=.999, eps=1e-8, eps_root=0) implements
+    torch.optim.Adam's exact update."""
+    import optax
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.fno import Fno2d
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    params, _, _, _, _, _ = load_case("fno")
+    traj = dict(np.load(GOLDEN / "fno_sgd_trajectory.npz"))  # batches
+    exp = np.load(GOLDEN / "fno_adam_trajectory.npz")
+    loss_fn = loss_name_to_fn("nmse")
+    tx = optax.adam(float(exp["lr"]))
+    opt_state = tx.init(params)
+
+    def lf(p, b):
+        preds = model.apply(
+            {"params": p}, traj[f"b{b}_input"],
+            traj[f"b{b}_case_params"], traj[f"b{b}_mask"], train=False,
+        )
+        return loss_fn(
+            preds,
+            jnp.asarray(traj[f"b{b}_label"])
+            * jnp.asarray(traj[f"b{b}_mask"]),
+        )["nmse"]
+
+    for step, exp_loss in enumerate(exp["losses"]):
+        loss, grads = jax.value_and_grad(lf)(params, step % 2)
+        assert np.isclose(float(loss), exp_loss, rtol=2e-5), (
+            step, float(loss), exp_loss
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+
 def test_golden_params_load_into_init_structure():
     """Converted trees are structurally identical to model.init's."""
     from cfdbench_tpu.models.fno import Fno2d
