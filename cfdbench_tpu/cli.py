@@ -189,6 +189,7 @@ def main_auto(argv=None) -> None:
                 if task.generative else None
             ),
             plot_examples=bool(args.plot_train_examples),
+            resume=bool(args.resume),
         )
         if args.measure_time:
             # measure_time is a micro-bench: print ms/step and stop

@@ -45,6 +45,11 @@ class Args:
     log_interval: int = 50
     eval_interval: int = 2
     save_checkpoint_every_n_epochs: int = 20
+    resume: int = 0
+    """Resume training from output_dir/training_state (full state:
+    params, BN stats, optimizer moments, epoch). The reference's main
+    trainers restart from scratch; only its GenCast trainer resumes
+    (which resumes here by default)."""
     save_images_every_n_epochs: int = 20
     early_stopping_patience: int = 20
     early_stopping_delta: float = 1e-5

@@ -376,7 +376,13 @@ def train(
     measure_time: bool = False,
     eval_max_batches: Optional[int] = None,
     plot_examples: bool = False,
+    resume: bool = False,
 ) -> TrainState:
+    """``resume=True`` continues from ``output_dir/training_state``
+    (params / BN stats / optimizer moments / step + epoch) when
+    present. The reference's main trainers can only restart from
+    scratch (SURVEY.md §5 failure recovery — only its GenCast trainer
+    resumes); here every eval epoch snapshots the full state."""
     from .optim import make_adam
 
     output_dir = Path(output_dir)
@@ -416,6 +422,30 @@ def train(
             step=jax.device_put(state.step, replicated_sharding(mesh))
         )
 
+    start_epoch = 0
+    meta_path = output_dir / "training_meta.json"
+    resume_dir = output_dir / "training_state"
+    if resume and meta_path.exists() and resume_dir.exists():
+        from ..data.core import load_json
+
+        meta = load_json(meta_path)
+        state_shardings = (
+            jax.tree.map(lambda x: x.sharding, state)
+            if mesh is not None else None
+        )
+        restored = checkpoints.load_params(jax.device_get(state), resume_dir)
+        state = (
+            restored if isinstance(restored, TrainState)
+            else TrainState(*restored)
+        )
+        if state_shardings is not None:
+            state = jax.device_put(state, state_shardings)
+        start_epoch = meta["epoch"] + 1
+        global_step_resumed = meta.get("global_step", 0)
+        print(f"Resumed from epoch {meta['epoch']}")
+    else:
+        global_step_resumed = 0
+
     train_step = make_train_step(task, tx, seed=seed)
     if getattr(task, "generative", False):
         # Diffusion dev eval generates frames and scores them (masked
@@ -441,11 +471,11 @@ def train(
     print(f"# epoch: {num_epochs}")
 
     start_time = time.time()
-    global_step = 0
+    global_step = global_step_resumed
     train_losses = []
     objective = task.loss_fn.objective
 
-    for ep in range(num_epochs):
+    for ep in range(start_epoch, num_epochs):
         ep_start = time.time()
         ep_losses = []
         rng = np.random.default_rng(seed * 1_000_003 + ep)
@@ -542,6 +572,15 @@ def train(
                 train_loss=float(np.mean(ep_losses)),
                 dev_loss=float(np.mean(dev_scores["all"][dev_key])),
                 time_s=time.time() - ep_start,
+            )
+            # Full-state snapshot for --resume (params + BN stats +
+            # optimizer moments + step).
+            checkpoints.save_params(
+                jax.device_get(state), output_dir / "training_state"
+            )
+            dump_json(
+                dict(epoch=ep, global_step=global_step),
+                output_dir / "training_meta.json",
             )
     print("====== Training done ======")
     dump_json(train_losses, output_dir / "train_losses.json")

@@ -305,6 +305,20 @@ def test(
         batch_size=batch_size, mesh=mesh,
         collect_preds=True, measure_time=measure_time,
     )
-    if result.get("preds") is not None:
-        np.save(output_dir / "preds.npy", result["preds"])
+    preds = result.get("preds")
+    if preds is not None:
+        np.save(output_dir / "preds.npy", preds)
+        # Plot u-channel predictions vs labels at intervals (reference
+        # non-auto eval plots predictions, src/train.py:76-80).
+        from ..utils.artifacts import plot_predictions
+
+        H, W = data.field_shape
+        for i in range(0, preds.shape[0], max(1, preds.shape[0] // 5)):
+            plot_predictions(
+                inp=None,
+                label=np.asarray(data.frames[i, ..., 0]),
+                pred=np.asarray(preds[i]).reshape(H, W),
+                out_dir=output_dir / "images",
+                step=i,
+            )
     dump_json(result["scores"], output_dir / "scores.json")

@@ -108,6 +108,36 @@ def test_multistep_gencast_end_to_end(synth_root, out_root, tmp_path):
     assert len(metrics) == 20
 
 
+def test_train_auto_resume(synth_root, out_root):
+    """--resume continues the flagship trainer from the saved full
+    state (params + optimizer + epoch)."""
+    out = out_root / "resume"
+    common = [
+        "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--batch_size", "16",
+        "--eval_batch_size", "16", "--eval_interval", "2",
+        "--log_interval", "100", "--mode", "train",
+        "--output_dir", str(out), "--fno_depth", "1",
+        "--fno_hidden_dim", "8", "--fno_modes_x", "4",
+        "--fno_modes_y", "4", "--mesh_shape", "1",
+        "--plot_train_examples", "0",
+    ]
+    main_auto(common + ["--num_epochs", "2"])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
+        / "lr0.0001_d1_h8_m14_m24"
+    )
+    meta = json.loads((run / "training_meta.json").read_text())
+    assert meta["epoch"] == 1
+    # Resume to 4 epochs: picks up at epoch 2, writes ckpt-3.
+    main_auto(common + ["--num_epochs", "4", "--resume", "1"])
+    meta = json.loads((run / "training_meta.json").read_text())
+    assert meta["epoch"] == 3
+    assert (run / "ckpt-3" / "scores.json").exists()
+    # Without --resume a fresh run starts over (reference behavior).
+    assert not (run / "ckpt-5").exists()
+
+
 def test_train_nonauto_ffn_end_to_end(synth_root, out_root):
     out = out_root / "nonauto"
     main_train([
