@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""End-to-end training-quality comparison vs the reference.
+
+Trains the reference's torch models (CPU) and this framework's flax
+models on the SAME synthetic case tree / split / hyperparameters and
+compares final dev scores. Unlike the golden-fixture tests (bit-level
+parity on fixed batches), this covers the full loops — data pipeline,
+shuffling, optimizer, LR schedule, eval — where only *statistical*
+parity is expected (different RNG streams for shuffling/init).
+
+Dev-time tool (requires /root/reference). Results are recorded in
+PARITY.md §parity-evidence.
+
+Usage: python scripts/compare_training.py [--epochs 30] [--model fno]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+REFERENCE_SRC = Path("/root/reference/src")
+
+
+def make_tree():
+    sys.path.insert(0, str(REPO_ROOT))
+    from cfdbench_tpu.data.synthetic import generate_all
+
+    root = Path(tempfile.mkdtemp()) / "synth"
+    # Same parameters as the test suite's fixture; 16x16 grid keeps the
+    # torch-CPU side fast while exercising every code path.
+    generate_all(root, cases_per_subset=5, num_frames=12, grid=16, seed=0)
+    return root
+
+
+def train_reference_fno(root, epochs, lr, batch_size, seed=0):
+    sys.path.insert(0, str(REFERENCE_SRC))
+    import torch
+    from torch.utils.data import DataLoader
+
+    from dataset.cavity import get_cavity_auto_datasets
+    from models.fno.fno2d import Fno2d
+    from models.loss import MseLoss
+
+    train_data, dev_data, _ = get_cavity_auto_datasets(
+        data_dir=root / "cavity", case_name="prop_bc_geo",
+        norm_props=True, norm_bc=True, delta_time=0.1,
+    )
+
+    def collate(batch):
+        inputs, labels, case_params = zip(*batch)
+        inputs = torch.stack(inputs)
+        labels = torch.stack(labels)
+        keys = [
+            k for k in case_params[0].keys()
+            if k not in ("rotated", "dx", "dy")
+        ]
+        cp = torch.tensor(
+            [[float(p[k]) for k in keys] for p in case_params]
+        )
+        return dict(
+            inputs=inputs[:, :-1], label=labels[:, :-1],
+            mask=inputs[:, -1:], case_params=cp,
+        )
+
+    torch.manual_seed(seed)
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, loss_fn=MseLoss(True),
+        num_layers=2, modes1=4, modes2=4, hidden_dim=8,
+    )
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
+    loader = DataLoader(
+        train_data, batch_size=batch_size, shuffle=True,
+        collate_fn=collate,
+    )
+    dev_loader = DataLoader(
+        dev_data, batch_size=batch_size, shuffle=False,
+        collate_fn=collate,
+    )
+    t0 = time.time()
+    for ep in range(epochs):
+        model.train()
+        for batch in loader:
+            out = model(
+                batch["inputs"], batch["case_params"],
+                mask=batch["mask"], label=batch["label"],
+            )
+            opt.zero_grad()
+            out["loss"]["nmse"].backward()
+            opt.step()
+        sched.step()
+    model.eval()
+    scores = []
+    with torch.no_grad():
+        for batch in dev_loader:
+            out = model(
+                batch["inputs"], batch["case_params"],
+                mask=batch["mask"], label=batch["label"],
+            )
+            scores.append(float(out["loss"]["nmse"]))
+    return dict(
+        dev_nmse=float(np.mean(scores)), train_s=time.time() - t0
+    )
+
+
+def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from cfdbench_tpu.data import get_auto_dataset
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.fno import Fno2d
+    from cfdbench_tpu.training import trainer_auto
+
+    train_data, dev_data, _ = get_auto_dataset(
+        root, "cavity_prop_bc_geo", 0.1, True, True,
+        load_splits=["train", "dev"],
+    )
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    task = trainer_auto.AutoTask(model, loss_name_to_fn("nmse"))
+    t0 = time.time()
+    state = trainer_auto.train(
+        task, train_data, dev_data, output_dir=out_dir,
+        num_epochs=epochs, lr=lr, batch_size=batch_size,
+        eval_batch_size=batch_size, eval_interval=epochs,
+        log_interval=10_000, seed=seed,
+    )
+    train_s = time.time() - t0
+    result = trainer_auto.evaluate(
+        task, state.params, dev_data, out_dir,
+        model_state=state.model_state, batch_size=batch_size,
+        collect_preds=False,
+    )
+    return dict(
+        dev_nmse=result["scores"]["mean"]["nmse"], train_s=train_s
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--seeds", type=int, default=1)
+    args = ap.parse_args()
+    root = make_tree()
+    ours, ref = [], []
+    for seed in range(args.seeds):
+        out = Path(tempfile.mkdtemp()) / "ours"
+        ours.append(
+            train_ours_fno(
+                root, args.epochs, args.lr, args.batch_size, out,
+                seed=seed,
+            )
+        )
+        ref.append(
+            train_reference_fno(
+                root, args.epochs, args.lr, args.batch_size, seed=seed
+            )
+        )
+
+    def summarize(rows):
+        v = [r["dev_nmse"] for r in rows]
+        return dict(
+            dev_nmse_mean=float(np.mean(v)),
+            dev_nmse_min=float(np.min(v)),
+            dev_nmse_max=float(np.max(v)),
+            per_seed=[round(x, 4) for x in v],
+        )
+
+    print(json.dumps(dict(
+        config=dict(model="fno d2 h8 m4", grid=16,
+                    epochs=args.epochs, lr=args.lr,
+                    batch_size=args.batch_size, seeds=args.seeds,
+                    data="synthetic cavity_prop_bc_geo (15 cases)"),
+        reference_torch=summarize(ref),
+        this_framework=summarize(ours),
+    ), indent=2))
+
+
+if __name__ == "__main__":
+    main()
