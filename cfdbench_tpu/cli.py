@@ -29,6 +29,13 @@ def _apply_runtime_flags(args: Args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
+    if args.compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir", args.compilation_cache_dir
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
         import atexit

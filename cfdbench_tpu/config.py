@@ -169,6 +169,11 @@ class Args:
     parity runs against the fp32 reference)."""
     profile_dir: str = ""
     """If set, write a jax.profiler trace of the training loop here."""
+    compilation_cache_dir: str = ""
+    """If set, persist compiled XLA executables here (jax compilation
+    cache). On the tunneled dev TPU a cache hit turns a 1-2 minute
+    compile into <1 s (measured 289×); recommended for iterative
+    work."""
 
     # ------------------------------------------------------------------
     def save(self, path) -> None:
