@@ -50,7 +50,7 @@ FLAGSHIP = dict(depth=4, hidden=32, modes=12, h=64, w=64)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
 
 
-def _setup(n_cases, h=64, w=64):
+def _setup(n_cases, h=64, w=64, hidden=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +62,8 @@ def _setup(n_cases, h=64, w=64):
     model = Fno2d(
         in_chan=2, out_chan=2, n_case_params=5,
         num_layers=FLAGSHIP["depth"], modes1=FLAGSHIP["modes"],
-        modes2=FLAGSHIP["modes"], hidden_dim=FLAGSHIP["hidden"],
+        modes2=FLAGSHIP["modes"],
+        hidden_dim=hidden or FLAGSHIP["hidden"],
     )
     task = AutoTask(model, loss_name_to_fn("nmse"))
     rng = np.random.default_rng(0)
@@ -190,7 +191,7 @@ def _analytic_fno_forward_flops(batch):
     return batch * (fc0 + FLAGSHIP["depth"] * per_block + head)
 
 
-def worker_train_step(batch, iters=16):
+def worker_train_step(batch, iters=16, hidden=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -201,7 +202,7 @@ def worker_train_step(batch, iters=16):
         make_train_step,
     )
 
-    task, params, frame0, case_params, mask = _setup(batch)
+    task, params, frame0, case_params, mask = _setup(batch, hidden=hidden)
     rng = np.random.default_rng(1)
     batch_dict = dict(
         inputs=frame0,
