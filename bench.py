@@ -191,7 +191,7 @@ def _analytic_fno_forward_flops(batch):
     return batch * (fc0 + FLAGSHIP["depth"] * per_block + head)
 
 
-def worker_train_step(batch, iters=16, hidden=None):
+def worker_train_step(batch, iters=16, hidden=None, mixed=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -203,6 +203,8 @@ def worker_train_step(batch, iters=16, hidden=None):
     )
 
     task, params, frame0, case_params, mask = _setup(batch, hidden=hidden)
+    if mixed:  # true mixed precision (bf16 fwd/bwd, f32 master+loss)
+        task.compute_dtype = jnp.bfloat16
     rng = np.random.default_rng(1)
     batch_dict = dict(
         inputs=frame0,

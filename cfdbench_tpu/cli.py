@@ -126,7 +126,14 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
     model = init_auto_model(
         args, n_case_params=n_case_params, field_shape=field_shape
     )
-    return trainer_auto.AutoTask(model, loss_fn)
+    compute_dtype = None
+    if args.use_mixed_precision:
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    return trainer_auto.AutoTask(
+        model, loss_fn, compute_dtype=compute_dtype
+    )
 
 
 def jnp_zeros(shape):

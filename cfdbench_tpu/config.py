@@ -144,10 +144,12 @@ class Args:
 
     # --- 6. advanced training options ---
     use_mixed_precision: bool = False
-    """Accepted for reference-CLI compatibility. On TPU, XLA's default
-    matmul precision already multiplies in bf16 with f32 accumulation
-    (the AMP benefit); use --matmul_precision highest to disable for
-    parity runs."""
+    """True mixed precision for the auto trainers: forward/backward in
+    bf16 params+activations (halves HBM activation traffic — the
+    wide-model bottleneck), master weights / optimizer / labels / loss
+    in f32, eval in f32. No loss scaling needed with bf16. (XLA's
+    default matmul precision already multiplies in bf16 even without
+    this flag; use --matmul_precision highest for f32 parity runs.)"""
     gradient_accumulation_steps: int = 1
     use_gradient_checkpointing: bool = False
 

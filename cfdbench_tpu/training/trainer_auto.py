@@ -57,10 +57,29 @@ class AutoTask:
 
     generative = False  # diffusion tasks override: eval generates frames
 
-    def __init__(self, model, loss_fn: LossFn):
+    def __init__(self, model, loss_fn: LossFn, compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` enables true mixed precision:
+        the forward/backward runs with bf16 params + activations
+        (halving HBM activation traffic — the wide-model bottleneck,
+        BASELINE.md MFU table) while master params, optimizer state,
+        labels and the loss stay f32. grad-of-cast accumulates back to
+        f32, so no loss scaling is needed with bf16's f32-sized
+        exponent. This is the real implementation of the reference's
+        AMP flag (``--use_mixed_precision``)."""
         self.model = model
         self.loss_fn = loss_fn
         self.pointwise = getattr(model, "pointwise", False)
+        self.compute_dtype = compute_dtype
+
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = self.compute_dtype
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
 
     def init_variables(self, rng, sample_batch):
         """Returns (params, model_state) where model_state holds
@@ -82,6 +101,14 @@ class AutoTask:
         return {"params": params, **model_state}
 
     def _forward(self, params, model_state, batch, train, rng):
+        if self.compute_dtype is not None:
+            params = self._cast(params)
+            batch = dict(
+                batch,
+                inputs=self._cast(batch["inputs"]),
+                case_params=self._cast(batch["case_params"]),
+                mask=self._cast(batch["mask"]),
+            )
         variables = {"params": params, **model_state}
         kwargs = {}
         if rng is not None:
@@ -113,6 +140,8 @@ class AutoTask:
         preds, new_state = self._forward(
             params, model_state or {}, batch, train, rng
         )
+        # Loss/metrics always in f32 (labels are untouched f32).
+        preds = preds.astype(jnp.float32)
         w = batch.get("weights")
         if self.pointwise:
             b = batch["labels"].shape[0]

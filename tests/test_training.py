@@ -99,3 +99,55 @@ def test_vae_dataset_resize(synth_root):
     )
     ds = build_vae_dataset(train, size=64)
     assert ds.frames.shape[1:] == (64, 64, 2)  # resized from 18x17
+
+
+def test_mixed_precision_train_step(rng):
+    """bf16 compute_dtype: grads/updates stay f32 (master weights),
+    losses track the f32 step within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.fno import Fno2d
+    from cfdbench_tpu.training.optim import make_adam
+    from cfdbench_tpu.training.trainer_auto import (
+        AutoTask,
+        TrainState,
+        make_train_step,
+    )
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((4, 16, 16, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((4, 16, 16, 2)), jnp.float32),
+        mask=jnp.ones((4, 16, 16, 1), jnp.float32),
+        case_params=jnp.asarray(rng.standard_normal((4, 5)), jnp.float32),
+        weights=jnp.ones((4,), jnp.float32),
+    )
+    losses = {}
+    params_out = {}
+    for mixed in (False, True):
+        task = AutoTask(
+            model, loss_name_to_fn("nmse"),
+            compute_dtype=jnp.bfloat16 if mixed else None,
+        )
+        params, mstate = task.init_variables(jax.random.PRNGKey(0), batch)
+        tx = make_adam(1e-3, steps_per_epoch=10)
+        state = TrainState(
+            params, mstate, tx.init(params), jnp.zeros((), jnp.int32)
+        )
+        step = make_train_step(task, tx)
+        for _ in range(3):
+            state, scores = step(state, batch)
+        losses[mixed] = float(scores["nmse"])
+        params_out[mixed] = state.params
+        # Master params stay f32 under mixed precision.
+        assert all(
+            x.dtype == jnp.float32
+            for x in jax.tree.leaves(state.params)
+        )
+    assert np.isclose(losses[False], losses[True], rtol=0.05), losses
