@@ -40,14 +40,56 @@ def make_tree():
     return root
 
 
-def train_reference_fno(root, epochs, lr, batch_size, seed=0):
+def _make_reference_model(name, seed):
+    import torch
+
+    from models.loss import MseLoss
+
+    torch.manual_seed(seed)
+    if name == "fno":
+        from models.fno.fno2d import Fno2d
+
+        return Fno2d(
+            in_chan=2, out_chan=2, n_case_params=5,
+            loss_fn=MseLoss(True), num_layers=2, modes1=4, modes2=4,
+            hidden_dim=8,
+        )
+    if name == "unet":
+        from models.unet import UNet
+
+        return UNet(
+            in_chan=2, out_chan=2, loss_fn=MseLoss(True),
+            n_case_params=5, insert_case_params_at="input",
+            bilinear=False, dim=4,
+        )
+    raise ValueError(name)
+
+
+def _make_our_model(name):
+    if name == "fno":
+        from cfdbench_tpu.models.fno import Fno2d
+
+        return Fno2d(
+            in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+            modes1=4, modes2=4, hidden_dim=8,
+        )
+    if name == "unet":
+        from cfdbench_tpu.models.unet import UNet
+
+        return UNet(
+            in_chan=2, out_chan=2, n_case_params=5,
+            insert_case_params_at="input", dim=4,
+        )
+    raise ValueError(name)
+
+
+def train_reference_fno(root, epochs, lr, batch_size, seed=0,
+                        model_name="fno"):
     sys.path.insert(0, str(REFERENCE_SRC))
     import torch
     from torch.utils.data import DataLoader
 
     from dataset.cavity import get_cavity_auto_datasets
-    from models.fno.fno2d import Fno2d
-    from models.loss import MseLoss
 
     train_data, dev_data, _ = get_cavity_auto_datasets(
         data_dir=root / "cavity", case_name="prop_bc_geo",
@@ -70,11 +112,7 @@ def train_reference_fno(root, epochs, lr, batch_size, seed=0):
             mask=inputs[:, -1:], case_params=cp,
         )
 
-    torch.manual_seed(seed)
-    model = Fno2d(
-        in_chan=2, out_chan=2, n_case_params=5, loss_fn=MseLoss(True),
-        num_layers=2, modes1=4, modes2=4, hidden_dim=8,
-    )
+    model = _make_reference_model(model_name, seed)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
     loader = DataLoader(
@@ -111,23 +149,20 @@ def train_reference_fno(root, epochs, lr, batch_size, seed=0):
     )
 
 
-def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0):
+def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
+                   model_name="fno"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from cfdbench_tpu.data import get_auto_dataset
     from cfdbench_tpu.metrics import loss_name_to_fn
-    from cfdbench_tpu.models.fno import Fno2d
     from cfdbench_tpu.training import trainer_auto
 
     train_data, dev_data, _ = get_auto_dataset(
         root, "cavity_prop_bc_geo", 0.1, True, True,
         load_splits=["train", "dev"],
     )
-    model = Fno2d(
-        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
-        modes1=4, modes2=4, hidden_dim=8,
-    )
+    model = _make_our_model(model_name)
     task = trainer_auto.AutoTask(model, loss_name_to_fn("nmse"))
     t0 = time.time()
     state = trainer_auto.train(
@@ -153,6 +188,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--model", default="fno", choices=["fno", "unet"])
     args = ap.parse_args()
     root = make_tree()
     ours, ref = [], []
@@ -161,12 +197,13 @@ def main():
         ours.append(
             train_ours_fno(
                 root, args.epochs, args.lr, args.batch_size, out,
-                seed=seed,
+                seed=seed, model_name=args.model,
             )
         )
         ref.append(
             train_reference_fno(
-                root, args.epochs, args.lr, args.batch_size, seed=seed
+                root, args.epochs, args.lr, args.batch_size,
+                seed=seed, model_name=args.model,
             )
         )
 
@@ -180,7 +217,7 @@ def main():
         )
 
     print(json.dumps(dict(
-        config=dict(model="fno d2 h8 m4", grid=16,
+        config=dict(model=args.model, grid=16,
                     epochs=args.epochs, lr=args.lr,
                     batch_size=args.batch_size, seeds=args.seeds,
                     data="synthetic cavity_prop_bc_geo (15 cases)"),
