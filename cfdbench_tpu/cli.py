@@ -71,6 +71,8 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             dropout=args.pixel_diffusion_dropout,
         )._with_remat(args.use_gradient_checkpointing)
         task.num_inference_steps = args.ldm_num_inference_steps
+        if args.use_mixed_precision:
+            task.compute_dtype = jnp_bf16()
         return task
     if args.model.startswith("latent_diffusion"):
         from .models.diffusion import (
@@ -122,6 +124,8 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
             unet_num_res_blocks=args.unet_num_res_blocks,
         )
         task.num_inference_steps = args.ldm_num_inference_steps
+        if args.use_mixed_precision:
+            task.compute_dtype = jnp_bf16()
         return task
     model = init_auto_model(
         args, n_case_params=n_case_params, field_shape=field_shape
@@ -134,6 +138,12 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
     return trainer_auto.AutoTask(
         model, loss_fn, compute_dtype=compute_dtype
     )
+
+
+def jnp_bf16():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16
 
 
 def jnp_zeros(shape):
@@ -605,6 +615,8 @@ def main_gencast(argv=None) -> None:
     )
     task._with_remat(args.use_gradient_checkpointing)
     task.num_inference_steps = args.ldm_num_inference_steps
+    if args.use_mixed_precision:
+        task.compute_dtype = jnp_bf16()
     if "train" in args.mode:
         train_gencast(
             task,

@@ -52,6 +52,10 @@ class _DiffusionTaskBase:
         self.loss_fn = loss_fn
         self.scheduler = make_ddpm_scheduler(timesteps)
         self.num_inference_steps = 50
+        # bf16 fwd/bwd with f32 master weights + loss (the reference's
+        # diffusion trainers run under AMP autocast,
+        # src/train_gencast.py:358-366, train_ldm.py:63-66).
+        self.compute_dtype = None
         # jax.checkpoint (remat) around the UNet in the training loss:
         # trades recompute for activation memory
         # (reference: torch.utils.checkpoint, pixel_diffusion.py:80-89).
@@ -65,6 +69,16 @@ class _DiffusionTaskBase:
         import jax as _jax
 
         return _jax.checkpoint(fn) if self.use_gradient_checkpointing else fn
+
+    def _cast(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = self.compute_dtype
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
 
     @property
     def feedback_channels(self):
@@ -140,8 +154,9 @@ class PixelDiffusionCfdModel(_DiffusionTaskBase):
             )
 
         eps = self._maybe_remat(unet_fwd)(
-            params, noisy, t, batch["case_params"], drop
-        )
+            self._cast(params), self._cast(noisy),
+            t, self._cast(batch["case_params"]), drop
+        ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
         )
@@ -239,8 +254,9 @@ class GenCastCfdModel(_DiffusionTaskBase):
             )
 
         eps = self._maybe_remat(unet_fwd)(
-            params, unet_in, t, batch["case_params"], drop
-        )
+            self._cast(params), self._cast(unet_in),
+            t, self._cast(batch["case_params"]), drop
+        ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
         )
@@ -394,9 +410,10 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
         noisy = self.scheduler.add_noise(latents, noise, t)
         ctx = self._context(params, batch["inputs"], batch["case_params"])
         eps = self.unet.apply(
-            {"params": params["unet"]},
-            noisy, t, batch["case_params"], train=train, context=ctx,
-        )
+            {"params": self._cast(params["unet"])},
+            self._cast(noisy), t, self._cast(batch["case_params"]),
+            train=train, context=self._cast(ctx),
+        ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
         )
@@ -578,9 +595,10 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
             batch["case_params"],
         )
         eps = self.unet.apply(
-            {"params": params["unet"]},
-            noisy + cond, t, batch["case_params"], train=train,
-        )
+            {"params": self._cast(params["unet"])},
+            self._cast(noisy + cond), t,
+            self._cast(batch["case_params"]), train=train,
+        ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
         )

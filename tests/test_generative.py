@@ -166,6 +166,20 @@ def test_gencast_wrapper_and_task(synth_root, rng):
         batch["case_params"], batch["mask"],
     )
     assert nxt.shape == batch["inputs"].shape
+    # Mixed precision (the reference's AMP path): bf16 fwd, f32 loss,
+    # close to the f32 loss; grads stay f32 wrt master params.
+    obj32 = float(obj)
+    task.compute_dtype = jnp.bfloat16
+    obj16, (scores16, _) = task.loss_scores(
+        params, batch, train=True, rng=jax.random.PRNGKey(1)
+    )
+    assert scores16["mse"].dtype == jnp.float32
+    assert np.isclose(obj32, float(obj16), rtol=0.05)
+    g = jax.grad(
+        lambda p: task.loss_scores(p, batch, rng=jax.random.PRNGKey(1))[0]
+    )(params)
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(g))
+    task.compute_dtype = None
 
 
 def test_latent_diffusion2_nonlite_raw_context(rng):
