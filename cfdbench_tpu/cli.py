@@ -214,6 +214,7 @@ def main_auto(argv=None) -> None:
             ),
             plot_examples=bool(args.plot_train_examples),
             resume=bool(args.resume),
+            spatial=bool(args.shard_spatial),
         )
         if args.measure_time:
             # measure_time is a micro-bench: print ms/step and stop

@@ -155,6 +155,12 @@ class Args:
 
     # --- 7. TPU / parallelism (new; no reference equivalent) ---
     mesh_shape: str = "auto"  # "auto" | "N" | "NdxM" e.g. "4x2" (data x model)
+    shard_spatial: int = 0
+    """Spatial (sp) sharding: split field tensors' grid rows over the
+    model mesh axis in addition to dp batching — for grids too large
+    for one chip's HBM. XLA inserts conv halo exchanges and einsum
+    reductions automatically; numerics equal the unsharded run
+    (tests/test_parallel.py)."""
     measure_time: int = 0
     plot_train_examples: int = 1
     """Write an ``example.png`` (input/label/pred) at each eval epoch

@@ -57,3 +57,21 @@ def shard_batch_spec(mesh: Mesh, batch: dict) -> dict:
     batch as the leading axis)."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda _: s, batch)
+
+
+def batch_sharding_spatial(mesh: Mesh, batch: dict) -> dict:
+    """Spatial (sp) sharding: field tensors (B, H, W, C) are split over
+    (data, model) — batch over the data axis AND grid rows over the
+    model axis. XLA's SPMD partitioner inserts the halo exchanges for
+    convolutions and the reductions for row-contracting einsums (the
+    FNO DFT projection), so models run unchanged. Pays off when the
+    grid no longer fits one chip's HBM (the reference's raw data is
+    ~remeshable to arbitrary resolution; the benchmark's 64×64 fits
+    everywhere, so this is a scaling capability, not a default)."""
+
+    def leaf(x):
+        if getattr(x, "ndim", 0) == 4:
+            return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+        return NamedSharding(mesh, P(DATA_AXIS))
+
+    return jax.tree.map(leaf, batch)

@@ -26,7 +26,11 @@ import optax
 from ..data.datasets import AutoDataset
 from ..data.pipeline import batches, num_batches
 from ..metrics import LossFn
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    batch_sharding_spatial,
+    replicated_sharding,
+)
 from ..utils.artifacts import (
     dump_json,
     plot_example,
@@ -283,6 +287,7 @@ def evaluate(
     collect_preds: bool = True,
     measure_time: bool = False,
     max_eval_batches: Optional[int] = None,
+    spatial: bool = False,
 ) -> Dict[str, Any]:
     """Mirror of ``src/train_auto.py:61-148``: per-batch score lists,
     means over batches, optional prediction collection and plots.
@@ -326,7 +331,11 @@ def evaluate(
                 batch["labels"][0, ..., 0].copy(),
             )
         if mesh is not None:
-            batch = jax.device_put(batch, batch_sharding(mesh))
+            batch = jax.device_put(
+                batch,
+                batch_sharding_spatial(mesh, batch)
+                if spatial else batch_sharding(mesh),
+            )
         s, isc, preds = eval_step(params, model_state or {}, batch)
         score_rows.append(
             jnp.stack(
@@ -406,6 +415,7 @@ def train(
     eval_max_batches: Optional[int] = None,
     plot_examples: bool = False,
     resume: bool = False,
+    spatial: bool = False,
 ) -> TrainState:
     """``resume=True`` continues from ``output_dir/training_state``
     (params / BN stats / optimizer moments / step + epoch) when
@@ -515,7 +525,11 @@ def train(
             )
         ):
             if mesh is not None:
-                batch = jax.device_put(batch, batch_sharding(mesh))
+                batch = jax.device_put(
+                    batch,
+                    batch_sharding_spatial(mesh, batch)
+                    if spatial else batch_sharding(mesh),
+                )
             state, scores = train_step(state, batch)
             ep_losses.append(float(scores[objective]))
             global_step += 1
@@ -564,6 +578,7 @@ def train(
                 mesh=mesh,
                 collect_preds=False,
                 max_eval_batches=eval_max_batches,
+                spatial=spatial,
             )
             dev_scores = result["scores"]
             if predict_fn is not None:

@@ -160,6 +160,58 @@ def test_gencast_dp_matches_single_device(rng):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.parametrize("model_name", ["fno", "unet"])
+def test_spatial_sharding_matches_single_device(rng, model_name):
+    """sp: grid rows sharded over the model axis (plus dp batching) —
+    XLA inserts conv halos / DFT-einsum reductions; loss and grads must
+    equal the unsharded run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cfdbench_tpu.parallel.mesh import batch_sharding_spatial
+
+    if model_name == "fno":
+        model = Fno2d(
+            in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+            modes1=4, modes2=4, hidden_dim=8,
+        )
+    else:
+        from cfdbench_tpu.models.unet import UNet
+
+        model = UNet(in_chan=2, out_chan=2, n_case_params=5, dim=4)
+    task = AutoTask(model, loss_name_to_fn("nmse"))
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((4, 32, 32, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((4, 32, 32, 2)), jnp.float32),
+        mask=jnp.ones((4, 32, 32, 1), jnp.float32),
+        case_params=jnp.asarray(rng.standard_normal((4, 5)), jnp.float32),
+        weights=jnp.ones((4,), jnp.float32),
+    )
+
+    def grads_of(mesh):
+        params, mstate = task.init_variables(jax.random.PRNGKey(0), batch)
+        b = batch
+        if mesh is not None:
+            b = jax.device_put(b, batch_sharding_spatial(mesh, b))
+            # Field tensors really are split over the model axis.
+            assert not b["inputs"].sharding.is_fully_replicated
+
+        def lf(p):
+            return task.loss_scores(
+                p, b, model_state=mstate, train=True,
+                rng=jax.random.PRNGKey(3),
+            )
+
+        g, (scores, _) = jax.jit(jax.grad(lf, has_aux=True))(params)
+        return jax.device_get(g), float(scores["nmse"])
+
+    g_single, l_single = grads_of(None)
+    for spec in ("2x4", "1x8"):
+        g_sp, l_sp = grads_of(make_mesh(spec))
+        assert np.isclose(l_single, l_sp, rtol=1e-5), spec
+        for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sp)):
+            np.testing.assert_allclose(a, b, atol=2e-5, err_msg=spec)
+
+
 def test_spec_for_non_divisible_falls_back_replicated():
     """Weights whose output axis does not divide the model-axis size
     must fall back to replication (sharding_rules fallback paths)."""
