@@ -206,3 +206,47 @@ def test_frame_dataset_point_examples(synth_root):
     assert query[1][1] == 1.0 and query[1][2] == 0.0
     assert query[2][1] == 0.0 and query[2][2] == 1.0
     assert query[3][0] == train.frame_t[1]
+
+
+def test_reference_pt_cache_roundtrip(synth_root, tmp_path):
+    """A reference-format torch cache (cylinder.py:477-541 layout)
+    loads into an AutoDataset identical to the directly-built one."""
+    import numpy as np
+    import torch
+
+    from cfdbench_tpu.data.compat import auto_dataset_from_reference_cache
+    from cfdbench_tpu.data.core import collect_case_dirs
+    from cfdbench_tpu.data.datasets import build_auto_dataset
+
+    case_dirs = collect_case_dirs(synth_root / "cylinder", "prop")
+    ds = build_auto_dataset(
+        "cylinder", case_dirs, norm_props=True, norm_bc=True,
+        delta_time=0.002,
+    )
+    # Write a cache exactly as the reference does (NCHW tensors,
+    # per-case params dicts, list of per-case feature arrays).
+    d = tmp_path / "cache" / "train"
+    d.mkdir(parents=True)
+    feats3 = np.concatenate([ds.inputs, ds.masks], axis=-1)
+    labels3 = np.concatenate([ds.labels, ds.masks], axis=-1)
+    torch.save(
+        torch.tensor(feats3.transpose(0, 3, 1, 2)), d / "inputs.pt"
+    )
+    torch.save(
+        torch.tensor(labels3.transpose(0, 3, 1, 2)), d / "labels.pt"
+    )
+    torch.save(list(map(int, ds.case_ids)), d / "case_ids.pt")
+    torch.save(ds.case_params_list, d / "case_params.pt")
+    torch.save(
+        [f.transpose(0, 3, 1, 2) for f in ds.all_features],
+        d / "all_features.pt",
+    )
+
+    loaded = auto_dataset_from_reference_cache(d)
+    np.testing.assert_array_equal(loaded.inputs, ds.inputs)
+    np.testing.assert_array_equal(loaded.labels, ds.labels)
+    np.testing.assert_array_equal(loaded.masks, ds.masks)
+    np.testing.assert_array_equal(loaded.case_ids, ds.case_ids)
+    np.testing.assert_allclose(loaded.case_params, ds.case_params)
+    for a, b in zip(loaded.all_features, ds.all_features):
+        np.testing.assert_array_equal(a, b)
