@@ -255,6 +255,99 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=False):
     )
 
 
+def worker_train_gencast(batch=32, iters=8, mixed=False):
+    """GenCast (residual-diffusion UNet, base 64 — the most expensive
+    trainer) jit-fused train step: AdamW + clip + NaN-skip, like the
+    real trainer. ``mixed`` enables bf16 fwd/bwd (the reference trains
+    GenCast under AMP)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.diffusion import GenCastCfdModel
+    from cfdbench_tpu.training.trainer_gencast import make_gencast_tx
+
+    task = GenCastCfdModel(
+        loss_name_to_fn("nmse"),
+        residual_mean=np.zeros(2, np.float32),
+        residual_std=np.ones(2, np.float32),
+        n_case_params=5, base_channels=64, num_res_blocks=2,
+        noise_scheduler_timesteps=1000,
+    )
+    if mixed:
+        task.compute_dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    b = dict(
+        inputs=jnp.asarray(
+            rng.standard_normal((batch, 64, 64, 2)), jnp.float32
+        ),
+        inputs_prev=jnp.asarray(
+            rng.standard_normal((batch, 64, 64, 2)), jnp.float32
+        ),
+        labels=jnp.asarray(
+            rng.standard_normal((batch, 64, 64, 2)), jnp.float32
+        ),
+        mask=jnp.ones((batch, 64, 64, 1), jnp.float32),
+        case_params=jnp.asarray(
+            rng.standard_normal((batch, 5)), jnp.float32
+        ),
+        weights=jnp.ones((batch,), jnp.float32),
+    )
+    params, _ = task.init_variables(jax.random.PRNGKey(0), b)
+    tx = make_gencast_tx(1e-4, total_steps=1000, warmup_steps=10)
+    opt_state = tx.init(params)
+    base_rng = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def step(params, opt_state, i, b):
+        rng = jax.random.fold_in(base_rng, i)
+
+        def lf(p):
+            return task.loss_scores(p, b, train=True, rng=rng)
+
+        grads, (scores, _) = jax.grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt_state, scores
+
+    flops = None
+    try:
+        cost = step.lower(
+            params, opt_state, jnp.zeros((), jnp.int32), b
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and cost.get("flops"):
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    def run(n):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        for i in range(n):
+            params, opt_state, scores = step(
+                params, opt_state, jnp.asarray(i), b
+            )
+        float(scores["mse"])  # force completion
+        return time.perf_counter() - t0
+
+    run(2)
+    t_long = run(4 * iters)
+    t_short = run(iters)
+    sec = (t_long - t_short) / (3 * iters)
+    out = dict(
+        ms_per_step=1e3 * sec,
+        examples_per_sec=batch / sec,
+    )
+    if flops:
+        out["achieved_tflops"] = flops / sec / 1e12
+        out["mfu_pct"] = 100.0 * flops / sec / PEAK_BF16_FLOPS
+    return out
+
+
 def worker_baseline(steps=20, n_cases=16):
     """Reference execution structure: per-case Python loop, batch 1, one
     device dispatch per step, completion forced per case chain."""
@@ -286,6 +379,7 @@ WORKERS = dict(
     rollout=worker_rollout,
     rollout_pallas=worker_rollout_pallas,
     train=worker_train_step,
+    train_gencast=worker_train_gencast,
     baseline=worker_baseline,
 )
 
@@ -381,6 +475,11 @@ def main():
             ms_per_step=round(train_f32["ms_per_step"], 3),
             achieved_tflops=round(train_f32["achieved_tflops"], 2),
         )
+    gc = run_worker_subprocess(dict(kind="train_gencast", batch=32))
+    if gc:
+        details["gencast_train_b32"] = {
+            k: round(v, 2) for k, v in gc.items()
+        }
     # Pallas head (XLA-vs-Pallas head timing): only batch_tile=1
     # compiles on this backend (tiles ≥2 exceed the 16M scoped-vmem
     # stack limit); measured 2026-08-16: pallas 12.9k vs xla 36.2k f/s
