@@ -10,6 +10,7 @@ from cfdbench_tpu.ops.spectral import (
     spectral_conv2d_fft,
     spectral_conv2d_matmul,
     spectral_conv2d_matmul_packed,
+    spectral_conv2d_matmul_wfirst,
 )
 
 
@@ -41,11 +42,13 @@ def test_matmul_equals_fft_and_reference(rng):
     y_fft = spectral_conv2d_fft(x, w, m1, m2)
     y_mm = spectral_conv2d_matmul(x, w, m1, m2)
     y_pk = spectral_conv2d_matmul_packed(x, w, m1, m2)
+    y_wf = spectral_conv2d_matmul_wfirst(x, w, m1, m2)
     y_ref = _np_reference(x, np.asarray(w), m1, m2)
 
     np.testing.assert_allclose(np.asarray(y_fft), y_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_mm), y_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_pk), y_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_wf), y_ref, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_fft), atol=2e-5
     )
@@ -59,12 +62,30 @@ def test_matmul_equals_fft_64x64_modes12(rng):
     y_fft = spectral_conv2d_fft(x, w, 12, 12)
     y_mm = spectral_conv2d_matmul(x, w, 12, 12)
     y_pk = spectral_conv2d_matmul_packed(x, w, 12, 12)
+    y_wf = spectral_conv2d_matmul_wfirst(x, w, 12, 12)
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_fft), atol=5e-5
     )
     np.testing.assert_allclose(
         np.asarray(y_pk), np.asarray(y_fft), atol=5e-5
     )
+    np.testing.assert_allclose(
+        np.asarray(y_wf), np.asarray(y_fft), atol=5e-5
+    )
+
+
+def test_wfirst_nonsquare_and_clamped_modes(rng):
+    """The padded tube/dam grids are non-square (66×65); modes also
+    clamp when they exceed the grid's half-spectrum."""
+    for (H, W, m1, m2) in ((18, 10, 4, 4), (12, 16, 12, 12)):
+        x = jnp.asarray(rng.standard_normal((2, H, W, 3)), jnp.float32)
+        eff1, eff2 = min(m1, H // 2), min(m2, W // 2 + 1)
+        w = init_spectral_weights(jax.random.PRNGKey(4), 3, 5, eff1, eff2)
+        y_fft = spectral_conv2d_fft(x, w, m1, m2)
+        y_wf = spectral_conv2d_matmul_wfirst(x, w, m1, m2)
+        np.testing.assert_allclose(
+            np.asarray(y_wf), np.asarray(y_fft), atol=2e-5
+        )
 
 
 def test_gradients_match(rng):
@@ -77,11 +98,17 @@ def test_gradients_match(rng):
     g_pk = jax.grad(
         lambda w: spectral_conv2d_matmul_packed(x, w, 4, 4).sum()
     )(w)
+    g_wf = jax.grad(
+        lambda w: spectral_conv2d_matmul_wfirst(x, w, 4, 4).sum()
+    )(w)
     np.testing.assert_allclose(
         np.asarray(g_mm), np.asarray(g_fft), atol=2e-4
     )
     np.testing.assert_allclose(
         np.asarray(g_pk), np.asarray(g_fft), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_wf), np.asarray(g_fft), atol=2e-4
     )
 
 
