@@ -24,6 +24,7 @@ from ..ops.spectral import (
 )
 from .common import (
     Dense,
+    gelu_exact,
     broadcast_params_to_channels,
     coord_channels,
     ensure_mask,
@@ -50,7 +51,7 @@ class FfnoBlock(nn.Module):
         y = spectral_conv1d_matmul(x, wh, self.modes1, axis=1)
         y = y + spectral_conv1d_matmul(x, ww, self.modes2, axis=2)
         y = Dense(self.ff_factor * C)(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu_exact(y)
         y = Dense(C)(y)
         return x + y
 
@@ -87,6 +88,6 @@ class Ffno2d(nn.Module):
         for _ in range(self.num_layers):
             x = FfnoBlock(self.hidden_dim, self.modes1, self.modes2)(x)
         x = Dense(128)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         preds = Dense(self.out_chan)(x)
         return preds * mask

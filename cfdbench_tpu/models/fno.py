@@ -21,6 +21,7 @@ from flax import linen as nn
 from ..ops.spectral import init_spectral_weights, spectral_conv2d
 from .common import (
     Dense,
+    gelu_exact,
     broadcast_params_to_channels,
     coord_channels,
     ensure_mask,
@@ -56,7 +57,7 @@ class FnoBlock(nn.Module):
         x2 = Dense(self.out_chan)(x)  # 1x1 conv bypass (fno2d.py:104)
         x = x1 + x2
         if self.use_act:
-            x = nn.gelu(x, approximate=False)
+            x = gelu_exact(x)
         return x
 
 
@@ -102,7 +103,7 @@ class Fno2d(nn.Module):
         if self.padding is not None:
             x = x[:, : -self.padding, : -self.padding, :]
         x = Dense(128)(x)  # fc1
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         preds = Dense(self.out_chan)(x)  # fc2
         return preds * mask
 
@@ -150,7 +151,7 @@ def fno2d_apply_pallas_head(
             model.modes1, model.modes2,
         )
         x2 = dense(blk["Dense_0"], x)
-        x = nn.gelu(x1 + x2, approximate=False)
+        x = gelu_exact(x1 + x2)
     return fused_fno_head(
         x,
         params["Dense_1"]["Dense_0"]["kernel"],
@@ -210,6 +211,6 @@ def fno2d_apply_pallas(
     if model.padding is not None:
         x = x[:, : -model.padding, : -model.padding, :]
     x = dense(params["Dense_1"], x)  # fc1
-    x = nn.gelu(x, approximate=False)
+    x = gelu_exact(x)
     preds = dense(params["Dense_2"], x)  # fc2
     return preds * mask

@@ -17,7 +17,12 @@ from __future__ import annotations
 from flax import linen as nn
 import jax.numpy as jnp
 
-from .common import Conv, broadcast_params_to_channels, ensure_mask
+from .common import (
+    Conv,
+    broadcast_params_to_channels,
+    ensure_mask,
+    gelu_exact,
+)
 
 
 class ResidualBlock(nn.Module):
@@ -41,7 +46,7 @@ class ResidualBlock(nn.Module):
             replicate_pad=True,
         )(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         x = Conv(
             self.out_chan,
             kernel_size=self.kernel_size,
