@@ -1,0 +1,219 @@
+"""Pipeline parallelism (pp): GPipe-style microbatch pipelining.
+
+The reference has no parallelism of any kind (SURVEY.md §2, parallelism
+note); like dp/tp/sp this subsystem is TPU-greenfield. It exists for
+scaled-up configurations (deep/wide FNO stacks, e.g. hidden_dim ≥ 256
+where one chip's HBM bounds the batch — BASELINE.md's width sweep shows
+the HBM ceiling): the depth dimension is split into stages over the
+mesh's ``model`` axis, and microbatches stream through the stages with
+``jax.lax.ppermute`` moving activations stage→stage over ICI.
+
+Design (TPU-native, single program):
+- ``shard_map`` over the full ``(data, model)`` mesh: the batch stays
+  sharded over ``data`` (dp), stage parameters are sharded over
+  ``model`` along a leading stage axis (each device holds only its own
+  stage's blocks — the point of pp: parameter memory scales 1/S).
+- One ``lax.scan`` over ``n_micro + S − 1`` ticks; each tick every
+  device applies its stage to its current microbatch and ppermutes the
+  activation to the next stage (the classic GPipe schedule — bubble
+  fraction (S−1)/(n_micro+S−1)).
+- The lift (fc0) runs on stage 0 and the head (fc1→GELU→fc2→mask) on
+  stage S−1; other devices compute-and-discard them (SPMD executes one
+  program; the waste is negligible next to the blocks).
+- Differentiable end-to-end: ``jax.grad`` through scan + ppermute gives
+  the exact single-device gradients (1F1B scheduling is a memory
+  optimization the 64×64 benchmark does not need).
+
+Numerical parity with the single-device forward/backward is unit-tested
+on a CPU mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map as _shard_map
+
+    _SHARD_KW = {"check_vma": False}
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    _SHARD_KW = {"check_rep": False}
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.common import (
+    broadcast_params_to_channels,
+    coord_channels,
+    ensure_mask,
+    gelu_exact,
+)
+from ..ops.spectral import spectral_conv2d
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _dense(p, x):
+    inner = p["Dense_0"]
+    return x @ inner["kernel"] + inner["bias"]
+
+
+def stack_stage_params(params, n_stages: int, num_layers: int):
+    """Split the flax FNO param tree into (stacked block stages, rest).
+
+    Returns ``(stages, lift, fc1, fc2)`` where ``stages`` is the block
+    param tree with a leading ``(n_stages, layers_per_stage)`` axis —
+    the leading axis is what gets sharded over ``model``.
+    """
+    assert num_layers % n_stages == 0, (
+        f"{num_layers} blocks cannot split into {n_stages} equal stages"
+    )
+    per = num_layers // n_stages
+    blocks = [params[f"FnoBlock_{i}"] for i in range(num_layers)]
+    grouped = [
+        jax.tree.map(lambda *xs: jnp.stack(xs), *blocks[s * per:(s + 1) * per])
+        for s in range(n_stages)
+    ]
+    stages = jax.tree.map(lambda *xs: jnp.stack(xs), *grouped)
+    return stages, params["Dense_0"], params["Dense_1"], params["Dense_2"]
+
+
+def make_pipelined_fno_forward(
+    model,
+    mesh: Mesh,
+    n_micro: int,
+    n_stages: Optional[int] = None,
+):
+    """Build ``fn(params, inputs, case_params, mask) -> preds`` running
+    the FNO forward pipeline-parallel over ``mesh``'s ``model`` axis.
+
+    ``params`` is the standard single-device flax tree (restacked
+    internally, so the same checkpoint drives pp and non-pp paths).
+    The global batch must divide into ``n_micro`` microbatches, and the
+    per-dp-shard microbatch must be whole.
+    """
+    assert model.padding is None, "pp path assumes no domain padding"
+    S = n_stages or mesh.shape[MODEL_AXIS]
+    assert S == mesh.shape[MODEL_AXIS], (
+        "n_stages must equal the mesh's model-axis size"
+    )
+    dp = mesh.shape[DATA_AXIS]
+    L = model.num_layers // S
+    m1, m2 = model.modes1, model.modes2
+
+    def block_apply(bp, x):
+        x1 = spectral_conv2d(x, bp["SpectralConv2d_0"]["weights"], m1, m2)
+        x2 = _dense(bp["Dense_0"], x)
+        return gelu_exact(x1 + x2)
+
+    def stage_apply(stage_params, x):
+        # stage_params leaves: (1, L, ...) on this device
+        for j in range(L):
+            bp = jax.tree.map(lambda a: a[0, j], stage_params)
+            x = block_apply(bp, x)
+        return x
+
+    def lift(lift_p, frame, case_params, mask):
+        mb, H, W, _ = frame.shape
+        x = jnp.concatenate(
+            [
+                frame,
+                mask,
+                coord_channels(mb, H, W, frame.dtype),
+                broadcast_params_to_channels(case_params, H, W),
+            ],
+            axis=-1,
+        )
+        return _dense(lift_p, x)
+
+    def head(fc1, fc2, x, mask):
+        h = gelu_exact(_dense(fc1, x))
+        return _dense(fc2, h) * mask
+
+    def shard_body(stages, lift_p, fc1_p, fc2_p, inputs, case_params, mask):
+        """Runs per (data, model) shard. inputs: (B_local, H, W, Cin)."""
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        B_local, H, W, Cin = inputs.shape
+        assert B_local % n_micro == 0, (
+            f"per-shard batch {B_local} not divisible into {n_micro} "
+            "microbatches"
+        )
+        mb = B_local // n_micro
+        micro_x = inputs.reshape(n_micro, mb, H, W, Cin)
+        micro_cp = case_params.reshape(n_micro, mb, -1)
+        micro_m = mask.reshape(n_micro, mb, H, W, 1)
+
+        T = n_micro + S - 1
+        state0 = jnp.zeros((mb, H, W, model.hidden_dim), inputs.dtype)
+        out0 = jnp.zeros((n_micro, mb, H, W, model.out_chan), inputs.dtype)
+
+        def tick(carry, t):
+            state, outs = carry
+            src = jnp.clip(t, 0, n_micro - 1)
+            lifted = lift(
+                lift_p, micro_x[src], micro_cp[src], micro_m[src]
+            )
+            inp = jnp.where(idx == 0, lifted, state)
+            act = stage_apply(stages, inp)
+            frame = head(fc1_p, fc2_p, act, micro_m[jnp.clip(t - (S - 1), 0, n_micro - 1)])
+            dst = t - (S - 1)
+            valid = jnp.logical_and(t >= S - 1, idx == S - 1)
+            outs = jax.lax.dynamic_update_slice(
+                outs,
+                jnp.where(valid, frame, outs[jnp.clip(dst, 0, n_micro - 1)])[
+                    None
+                ],
+                (jnp.clip(dst, 0, n_micro - 1), 0, 0, 0, 0),
+            )
+            if S > 1:
+                nxt = jax.lax.ppermute(
+                    act,
+                    MODEL_AXIS,
+                    [(i, i + 1) for i in range(S - 1)],
+                )
+            else:
+                nxt = act
+            return (nxt, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (state0, out0), jnp.arange(T)
+        )
+        # Only stage S−1 holds real outputs; broadcast them to every
+        # stage so the result is replicated over the model axis.
+        outs = jax.lax.psum(
+            jnp.where(idx == S - 1, outs, jnp.zeros_like(outs)),
+            MODEL_AXIS,
+        )
+        return outs.reshape(B_local, H, W, model.out_chan)
+
+    in_specs = (
+        P(MODEL_AXIS),  # stage params: leading stage axis (prefix spec)
+        P(),  # lift params replicated
+        P(),  # fc1
+        P(),  # fc2
+        P(DATA_AXIS),  # inputs
+        P(DATA_AXIS),  # case_params
+        P(DATA_AXIS),  # mask
+    )
+
+    sharded = _shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(DATA_AXIS),
+        **_SHARD_KW,
+    )
+
+    @jax.jit
+    def fn(params, inputs, case_params, mask):
+        B, H, W, _ = inputs.shape
+        mask = ensure_mask(mask, B, H, W)
+        stages, lift_p, fc1_p, fc2_p = stack_stage_params(
+            params, S, model.num_layers
+        )
+        return sharded(
+            stages, lift_p, fc1_p, fc2_p, inputs, case_params, mask
+        )
+
+    return fn

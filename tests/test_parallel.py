@@ -251,3 +251,47 @@ def test_tp_actually_shards(rng):
         if any(p is not None for p in s.spec)
     )
     assert n_split >= 3  # spectral weights + fc1 at least
+
+
+def test_pipeline_parallel_matches_single_device(rng):
+    """pp: GPipe microbatch pipeline over the model axis (FNO blocks
+    split into stages, ppermute over ICI). Forward and gradients must
+    equal the plain single-device apply."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cfdbench_tpu.parallel.pipeline import make_pipelined_fno_forward
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=4,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    B, H, W = 8, 16, 16
+    inputs = jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32)
+    cp = jnp.asarray(rng.standard_normal((B, 5)), jnp.float32)
+    mask = jnp.ones((B, H, W, 1), jnp.float32)
+    labels = jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), inputs, cp, mask)["params"]
+
+    ref = model.apply({"params": params}, inputs, cp, mask)
+
+    def loss(apply_fn, p):
+        preds = apply_fn(p, inputs, cp, mask)
+        return jnp.mean(jnp.square(preds - labels))
+
+    ref_apply = lambda p, x, c, m: model.apply({"params": p}, x, c, m)
+    g_ref = jax.grad(lambda p: loss(ref_apply, p))(params)
+
+    for spec, n_micro in (("2x4", 2), ("4x2", 2), ("2x4", 4)):
+        mesh = make_mesh(spec)
+        fn = make_pipelined_fno_forward(model, mesh, n_micro=n_micro)
+        got = fn(params, inputs, cp, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5,
+            err_msg=f"forward {spec} micro={n_micro}",
+        )
+        g_pp = jax.grad(lambda p: loss(fn, p))(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"grad {spec} micro={n_micro}",
+            )
