@@ -7,6 +7,8 @@ import pytest
 
 from cfdbench_tpu.cli import main_auto, main_multistep, main_train
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def out_root(tmp_path_factory):

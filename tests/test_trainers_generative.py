@@ -1,8 +1,12 @@
 """Generative trainers end-to-end on tiny configs (CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 
 def test_generative_eval_scores_frames(tmp_path, rng):
