@@ -62,6 +62,14 @@ def _make_reference_model(name, seed):
             n_case_params=5, insert_case_params_at="input",
             bilinear=False, dim=4,
         )
+    if name == "resnet":
+        from models.resnet import ResNet
+
+        return ResNet(
+            in_chan=2, out_chan=2, n_case_params=5,
+            loss_fn=MseLoss(True), hidden_chan=8, num_blocks=2,
+            kernel_size=3, padding=1,
+        )
     raise ValueError(name)
 
 
@@ -79,6 +87,13 @@ def _make_our_model(name):
         return UNet(
             in_chan=2, out_chan=2, n_case_params=5,
             insert_case_params_at="input", dim=4,
+        )
+    if name == "resnet":
+        from cfdbench_tpu.models.resnet import ResNet
+
+        return ResNet(
+            in_chan=2, out_chan=2, n_case_params=5, hidden_chan=8,
+            num_blocks=2, kernel_size=3, padding=1,
         )
     raise ValueError(name)
 
@@ -188,7 +203,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seeds", type=int, default=1)
-    ap.add_argument("--model", default="fno", choices=["fno", "unet"])
+    ap.add_argument("--model", default="fno", choices=["fno", "unet", "resnet"])
     args = ap.parse_args()
     root = make_tree()
     ours, ref = [], []
