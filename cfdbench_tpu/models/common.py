@@ -15,7 +15,6 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 
@@ -114,18 +113,17 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     PARITY.md §perf). Note this is *not* the tanh approximation
     (``approximate=True``), whose error is ~1e-3.
     """
-    z = x * np.float32(0.7071067811865476)  # 1/sqrt(2)
+    # Python float constants are weakly typed: they do not promote
+    # bfloat16 inputs to float32 (scan carries must keep their dtype).
+    z = x * 0.7071067811865476  # 1/sqrt(2)
     az = jnp.abs(z)
-    t = 1.0 / (1.0 + np.float32(0.3275911) * az)
+    t = 1.0 / (1.0 + 0.3275911 * az)
     poly = t * (
-        np.float32(0.254829592)
+        0.254829592
         + t * (
-            np.float32(-0.284496736)
+            -0.284496736
             + t * (
-                np.float32(1.421413741)
-                + t * (
-                    np.float32(-1.453152027) + t * np.float32(1.061405429)
-                )
+                1.421413741 + t * (-1.453152027 + t * 1.061405429)
             )
         )
     )
