@@ -101,21 +101,12 @@ class Conv(nn.Module):
         )(x)
 
 
-def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact-erf GELU, ``x·Φ(x)`` (torch ``F.gelu`` default semantics).
+def _erf_rational(z: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz–Stegun 7.1.26 rational erf (max abs err 1.5e-7).
 
-    Computes erf with the Abramowitz–Stegun 7.1.26 rational
-    approximation instead of XLA's erf lowering: max abs error vs
-    ``jax.nn.gelu(approximate=False)`` is 7.2e-7 over [-8, 8] (far
-    below the bf16 matmul noise floor and the 2e-5 golden-parity
-    tolerance), and it is ~2× faster on the TPU VPU — the erf was ~25 %
-    of the flagship FNO rollout step (measured on v5e; see
-    PARITY.md §perf). Note this is *not* the tanh approximation
-    (``approximate=True``), whose error is ~1e-3.
+    Python float constants are weakly typed: they do not promote
+    bfloat16 inputs to float32 (scan carries must keep their dtype).
     """
-    # Python float constants are weakly typed: they do not promote
-    # bfloat16 inputs to float32 (scan carries must keep their dtype).
-    z = x * 0.7071067811865476  # 1/sqrt(2)
     az = jnp.abs(z)
     t = 1.0 / (1.0 + 0.3275911 * az)
     poly = t * (
@@ -127,8 +118,36 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
             )
         )
     )
-    erf_z = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-    return 0.5 * x * (1.0 + erf_z)
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+
+
+@jax.custom_jvp
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-erf GELU, ``x·Φ(x)`` (torch ``F.gelu`` default semantics).
+
+    Computes erf with the Abramowitz–Stegun 7.1.26 rational
+    approximation instead of XLA's erf lowering: max abs error vs
+    ``jax.nn.gelu(approximate=False)`` is 7.2e-7 over [-8, 8] (far
+    below the bf16 matmul noise floor and the 2e-5 golden-parity
+    tolerance), and it is ~2× faster on the TPU VPU — the erf was ~25 %
+    of the flagship FNO rollout step (measured on v5e; see
+    PARITY.md §perf). Note this is *not* the tanh approximation
+    (``approximate=True``), whose error is ~1e-3.
+
+    The gradient is the analytic ``Φ(x) + x·φ(x)`` (custom_jvp) rather
+    than autodiff of the rational formula — cheaper (one exp) and more
+    accurate (error ~1e-7 vs the exact derivative).
+    """
+    z = x * 0.7071067811865476  # 1/sqrt(2)
+    return 0.5 * x * (1.0 + _erf_rational(z))
+
+
+@gelu_exact.defjvp
+def _gelu_exact_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    cdf = 0.5 * (1.0 + _erf_rational(x * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * x * x)  # φ(x)
+    return x * cdf, (cdf + x * pdf) * dx
 
 
 def norm_act(act: Callable, x: jnp.ndarray) -> jnp.ndarray:

@@ -98,7 +98,6 @@ def make_pipelined_fno_forward(
     assert S == mesh.shape[MODEL_AXIS], (
         "n_stages must equal the mesh's model-axis size"
     )
-    dp = mesh.shape[DATA_AXIS]
     L = model.num_layers // S
     m1, m2 = model.modes1, model.modes2
 

@@ -131,3 +131,24 @@ def test_odd_grid_unet():
     vs = model.init(jax.random.PRNGKey(0), x, cp, m)
     out = model.apply(vs, x, cp, m)
     assert out.shape == (1, 66, 65, 2)
+
+
+def test_gelu_exact_matches_erf_gelu():
+    """Rational-erf GELU: forward and analytic gradient both within
+    1e-6 of jax.nn.gelu(approximate=False); bf16 dtype preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdbench_tpu.models.common import gelu_exact
+
+    x = jnp.linspace(-8, 8, 20001, dtype=jnp.float32)
+    ref = jax.nn.gelu(x, approximate=False)
+    assert float(jnp.max(jnp.abs(gelu_exact(x) - ref))) < 1e-6
+    g = jax.vmap(jax.grad(gelu_exact))(x)
+    gr = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x)
+    assert float(jnp.max(jnp.abs(g - gr))) < 1e-6
+    assert gelu_exact(x.astype(jnp.bfloat16)).dtype == jnp.bfloat16
+    # second-order (hessian through custom_jvp) stays finite
+    h = jax.vmap(jax.grad(jax.grad(gelu_exact)))(x[::100])
+    assert np.all(np.isfinite(np.asarray(h)))
