@@ -94,8 +94,8 @@ def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
 def worker_rollout(batch, steps=20, dtype="float32"):
     """``dtype="bfloat16"`` additionally stores params/activations in
     bf16 (multiplies are bf16 on TPU either way; this halves HBM
-    traffic at the cost of activation precision — measured +6% at
-    b128, so storage bandwidth is not the dominant bottleneck)."""
+    traffic at the cost of activation precision — measured +29% at
+    b128 once the erf cost was removed: the step is HBM-traffic-bound)."""
     import jax
     import jax.numpy as jnp
 
@@ -482,7 +482,7 @@ def main():
         }
     # Pallas head (XLA-vs-Pallas head timing): only batch_tile=1
     # compiles on this backend (tiles ≥2 exceed the 16M scoped-vmem
-    # stack limit); measured 2026-08-16: pallas 12.9k vs xla 36.2k f/s
+    # stack limit); measured 2026-08-16: pallas 14.5k vs xla 61.2k f/s
     # — XLA fusion wins, recorded in PARITY.md §perf.
     out = run_worker_subprocess(
         dict(kind="rollout_pallas", batch=128, batch_tile=1)
