@@ -30,6 +30,7 @@ the slope method (t(4S) − t(S)) / 3S to cancel the fixed ~28 ms/sync
 tunnel round trip, which is a dev-harness artifact, not a TPU property.
 """
 
+import functools
 import json
 import subprocess
 import sys
@@ -135,15 +136,16 @@ def worker_rollout_pallas(batch, steps=20, batch_tile=1):
         )
 
     def make_sink(predict, s):
-        def body(carry, _):
+        def body(p, carry, _):
             f, acc = carry
-            nxt = predict(params, f, case_params, mask)
+            nxt = predict(p, f, case_params, mask)
             return (nxt, acc + jnp.sum(nxt)), None
 
         @jax.jit
-        def sink(params, f0):
+        def sink(p, f0):
             (f, acc), _ = jax.lax.scan(
-                body, (f0, jnp.zeros((), jnp.float32)), None, length=s
+                functools.partial(body, p),
+                (f0, jnp.zeros((), jnp.float32)), None, length=s,
             )
             return acc
 
@@ -348,6 +350,60 @@ def worker_train_gencast(batch=32, iters=8, mixed=False):
     return out
 
 
+def worker_train_nonauto(batch=64, iters=16):
+    """DeepONet (non-auto regime) jitted train step: 1000 random
+    lattice-point samples per step, the workload of the reference's
+    only other timing harness (``src/train.py:94-100`` measures this
+    path at batch 1 on CUDA)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.nonauto import DeepONet
+    from cfdbench_tpu.training.optim import make_adam
+    from cfdbench_tpu.training.trainer_nonauto import (
+        NonAutoTask,
+        TrainState,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    task = NonAutoTask(
+        DeepONet(n_case_params=5), loss_name_to_fn("nmse")
+    )
+    b = dict(
+        case_params=jnp.asarray(
+            rng.standard_normal((batch, 5)), jnp.float32
+        ),
+        t=jnp.asarray(rng.uniform(0, 10, (batch, 1)), jnp.float32),
+        labels=jnp.asarray(
+            rng.standard_normal((batch, 64, 64, 1)), jnp.float32
+        ),
+        weights=jnp.ones((batch,), jnp.float32),
+    )
+    params = task.init_params(jax.random.PRNGKey(0), b)
+    tx = make_adam(1e-3, steps_per_epoch=100)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(task, tx, seed=0, grid_hw=(64, 64))
+
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, scores = step(state, b)
+        float(scores["mse"])
+        return time.perf_counter() - t0
+
+    run(2)
+    t_long = run(4 * iters)
+    t_short = run(iters)
+    sec = (t_long - t_short) / (3 * iters)
+    return dict(
+        ms_per_step=1e3 * sec, examples_per_sec=batch / sec
+    )
+
+
 def worker_baseline(steps=20, n_cases=16):
     """Reference execution structure: per-case Python loop, batch 1, one
     device dispatch per step, completion forced per case chain."""
@@ -380,6 +436,7 @@ WORKERS = dict(
     rollout_pallas=worker_rollout_pallas,
     train=worker_train_step,
     train_gencast=worker_train_gencast,
+    train_nonauto=worker_train_nonauto,
     baseline=worker_baseline,
 )
 
@@ -479,6 +536,11 @@ def main():
     if gc:
         details["gencast_train_b32"] = {
             k: round(v, 2) for k, v in gc.items()
+        }
+    na = run_worker_subprocess(dict(kind="train_nonauto", batch=64))
+    if na:
+        details["deeponet_train_b64"] = {
+            k: round(v, 2) for k, v in na.items()
         }
     # Pallas head (XLA-vs-Pallas head timing): only batch_tile=1
     # compiles on this backend (tiles ≥2 exceed the 16M scoped-vmem

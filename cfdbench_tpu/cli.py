@@ -48,8 +48,14 @@ DIFFUSION_MODELS = (
     "latent_diffusion",        # v1: cross-attention, learned ctx proj
     "latent_diffusion2",       # v2 non-lite: cross-attention, raw ctx
     "latent_diffusion_lite",   # v2 Lite: conditioning-by-addition
-    "latent_diffusion2_lite",  # back-compat alias (round-1 name) → Lite
+    "latent_diffusion2_lite",  # alias → Lite
 )
+# NOTE: before the non-lite LatentDiffusionCfdModel2 existed,
+# --model latent_diffusion2 itself mapped to the Lite variant (like the
+# reference, whose train_ldm2.py drives the Lite class). Checkpoints
+# from such runs have a different param tree (conv cond_encoder instead
+# of cross-attention): re-test/resume them with
+# --model latent_diffusion_lite, not latent_diffusion2.
 
 
 def make_auto_task(args: Args, n_case_params: int, field_shape):

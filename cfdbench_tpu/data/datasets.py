@@ -18,6 +18,10 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .fast_io import prefetch_case_uv
+
+# Cases prefetched ahead per native batch-read (bounds peak memory to
+# ~one chunk of raw case arrays while keeping the thread pool busy).
+PREFETCH_CHUNK = 64
 from .core import (
     DATA_DELTA_TIME,
     CaseData,
@@ -220,10 +224,16 @@ def build_auto_dataset(
     all_features: List[np.ndarray] = []
     params_list: List[Dict[str, float]] = []
 
-    # One parallel native batch-read of every case's u/v files (no-op
-    # without the compiled library; data/fast_io.py).
-    prefetch_case_uv(case_dirs)
+    # Parallel native batch-reads of the cases' u/v files (no-op
+    # without the compiled library; data/fast_io.py), in chunks of
+    # PREFETCH_CHUNK cases so peak residency is one chunk of raw
+    # arrays, not the whole split (the loop consumes cache entries as
+    # it packs them).
     for case_id, case_dir in enumerate(case_dirs):
+        if case_id % PREFETCH_CHUNK == 0:
+            prefetch_case_uv(
+                case_dirs[case_id:case_id + PREFETCH_CHUNK]
+            )
         case = load_case(problem, Path(case_dir))
         features = case.features  # (T, H, W, 3)
         all_features.append(features)
@@ -290,8 +300,11 @@ def build_frame_dataset(
     keys = FRAME_PARAM_KEYS[problem]
     frames, frame_t, params_rows, case_ids = [], [], [], []
     params_list: List[Dict[str, float]] = []
-    prefetch_case_uv(case_dirs)
     for case_id, case_dir in enumerate(case_dirs):
+        if case_id % PREFETCH_CHUNK == 0:
+            prefetch_case_uv(
+                case_dirs[case_id:case_id + PREFETCH_CHUNK]
+            )
         case = load_case(problem, Path(case_dir))
         normalize_case_params(problem, case.params, norm_props, norm_bc)
         params_list.append(case.params)

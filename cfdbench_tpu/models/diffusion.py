@@ -70,8 +70,10 @@ class _DiffusionTaskBase:
 
         return _jax.checkpoint(fn) if self.use_gradient_checkpointing else fn
 
-    def _cast(self, tree):
-        if self.compute_dtype is None:
+    def _cast(self, tree, train: bool = True):
+        # Mixed precision applies to the TRAIN forward/backward only;
+        # eval/generation stays f32 (the --use_mixed_precision contract).
+        if self.compute_dtype is None or not train:
             return tree
         dt = self.compute_dtype
         return jax.tree.map(
@@ -154,8 +156,8 @@ class PixelDiffusionCfdModel(_DiffusionTaskBase):
             )
 
         eps = self._maybe_remat(unet_fwd)(
-            self._cast(params), self._cast(noisy),
-            t, self._cast(batch["case_params"]), drop
+            self._cast(params, train), self._cast(noisy, train),
+            t, self._cast(batch["case_params"], train), drop
         ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
@@ -254,8 +256,8 @@ class GenCastCfdModel(_DiffusionTaskBase):
             )
 
         eps = self._maybe_remat(unet_fwd)(
-            self._cast(params), self._cast(unet_in),
-            t, self._cast(batch["case_params"]), drop
+            self._cast(params, train), self._cast(unet_in, train),
+            t, self._cast(batch["case_params"], train), drop
         ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
@@ -410,9 +412,10 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
         noisy = self.scheduler.add_noise(latents, noise, t)
         ctx = self._context(params, batch["inputs"], batch["case_params"])
         eps = self.unet.apply(
-            {"params": self._cast(params["unet"])},
-            self._cast(noisy), t, self._cast(batch["case_params"]),
-            train=train, context=self._cast(ctx),
+            {"params": self._cast(params["unet"], train)},
+            self._cast(noisy, train), t,
+            self._cast(batch["case_params"], train),
+            train=train, context=self._cast(ctx, train),
         ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")
@@ -595,9 +598,9 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
             batch["case_params"],
         )
         eps = self.unet.apply(
-            {"params": self._cast(params["unet"])},
-            self._cast(noisy + cond), t,
-            self._cast(batch["case_params"]), train=train,
+            {"params": self._cast(params["unet"], train)},
+            self._cast(noisy + cond, train), t,
+            self._cast(batch["case_params"], train), train=train,
         ).astype(jnp.float32)
         scores = self.loss_fn(
             eps, noise, sample_weights=batch.get("weights")

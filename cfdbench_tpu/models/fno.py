@@ -125,6 +125,10 @@ def fno2d_apply_pallas_head(
     """
     from ..ops.pallas_fno import fused_fno_head
 
+    assert model.padding is None, (
+        "pallas-head path does not implement domain padding; use the "
+        "standard apply for padded models"
+    )
     B, H, W, _ = inputs.shape
     mask = ensure_mask(mask, B, H, W)
     x = jnp.concatenate(

@@ -105,7 +105,10 @@ class AutoTask:
         return {"params": params, **model_state}
 
     def _forward(self, params, model_state, batch, train, rng):
-        if self.compute_dtype is not None:
+        # Mixed precision applies to the TRAIN forward/backward only;
+        # eval stays f32 (the documented --use_mixed_precision
+        # contract: bf16 fwd/bwd, f32 master weights/loss/eval).
+        if self.compute_dtype is not None and train:
             params = self._cast(params)
             batch = dict(
                 batch,
@@ -345,7 +348,10 @@ def evaluate(
                 ]
             )
         )
-        if preds.ndim > 0:
+        if keep_preds and preds.ndim > 0:
+            # Only hold/transfer generated frames when a consumer exists
+            # (collect_preds or plotting) — the generative eval_step
+            # always returns them.
             all_preds.append(preds)
         n_batches += 1
     # Single device→host transfer for every batch's scores.

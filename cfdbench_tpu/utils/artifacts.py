@@ -96,49 +96,14 @@ def plot_loss(losses, out: Path, fontsize: int = 12) -> None:
     plt.close()
 
 
-def plot_predictions(
-    inp: Optional[np.ndarray],
-    label: np.ndarray,
-    pred: np.ndarray,
-    out_dir: Path,
-    step: int,
-) -> None:
-    """Input/label/pred panels with a shared color scale (reference
-    ``plot_predictions``, ``src/utils/common.py:34-93``)."""
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except Exception:  # pragma: no cover
-        return
-    panels = [("label", label), ("pred", pred)]
-    if inp is not None:
-        panels.insert(0, ("input", inp))
-    vmin = min(float(np.min(p)) for _, p in panels)
-    vmax = max(float(np.max(p)) for _, p in panels)
-    fig, axs = plt.subplots(1, len(panels), figsize=(4 * len(panels), 3.2))
-    if len(panels) == 1:
-        axs = [axs]
-    for ax, (title, p) in zip(axs, panels):
-        im = ax.imshow(np.asarray(p), vmin=vmin, vmax=vmax)
-        ax.set_title(title)
-        fig.colorbar(im, ax=ax)
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    fig.savefig(out_dir / f"step-{step}.png")
-    plt.close(fig)
-
-
-def plot_example(
+def _plot_panels(
     inp: Optional[np.ndarray],
     label: np.ndarray,
     pred: np.ndarray,
     out_path: Path,
 ) -> None:
-    """Single input/label/pred snapshot at a fixed path — the train-time
-    ``example.png`` contract (reference plots one on the first step of
-    each epoch, ``src/train_auto.py:234-250``)."""
+    """Input/label/pred panels with a shared color scale (reference
+    ``plot_predictions``, ``src/utils/common.py:34-93``)."""
     try:
         import matplotlib
 
@@ -160,6 +125,29 @@ def plot_example(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out_path)
     plt.close(fig)
+
+
+def plot_predictions(
+    inp: Optional[np.ndarray],
+    label: np.ndarray,
+    pred: np.ndarray,
+    out_dir: Path,
+    step: int,
+) -> None:
+    """Per-step panel image under ``out_dir`` (test-time plots)."""
+    _plot_panels(inp, label, pred, Path(out_dir) / f"step-{step}.png")
+
+
+def plot_example(
+    inp: Optional[np.ndarray],
+    label: np.ndarray,
+    pred: np.ndarray,
+    out_path: Path,
+) -> None:
+    """Single input/label/pred snapshot at a fixed path — the train-time
+    ``example.png`` contract (reference plots one on the first step of
+    each epoch, ``src/train_auto.py:234-250``)."""
+    _plot_panels(inp, label, pred, out_path)
 
 
 def plot_multistep_metrics(metrics, out_path: Optional[Path] = None) -> None:
