@@ -18,16 +18,55 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .fast_io import prefetch_case_uv
-
-# Cases prefetched ahead per native batch-read (bounds peak memory to
-# ~one chunk of raw case arrays while keeping the thread pool busy).
-PREFETCH_CHUNK = 64
 from .core import (
     DATA_DELTA_TIME,
     CaseData,
     load_case,
     normalize_case_params,
 )
+
+# Cases prefetched ahead per native batch-read (bounds peak memory to
+# ~two chunks of raw case arrays while keeping the thread pool busy).
+PREFETCH_CHUNK = 64
+
+
+class _ChunkPrefetcher:
+    """Overlapped chunk prefetch: while chunk k is being packed, chunk
+    k+1's ``u.npy``/``v.npy`` reads run on a background thread through
+    the native C++ pool (the ctypes call and numpy packing both release
+    the GIL, so IO and packing genuinely overlap). Peak residency is
+    bounded at two chunks of raw case arrays."""
+
+    def __init__(self, case_dirs: Sequence, chunk: int = PREFETCH_CHUNK):
+        import concurrent.futures
+
+        self._dirs = list(case_dirs)
+        self._chunk = chunk
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._pending = {}  # chunk index -> Future
+        if self._dirs:
+            self._submit(0)
+
+    def _submit(self, k: int) -> None:
+        lo = k * self._chunk
+        if lo < len(self._dirs):
+            self._pending[k] = self._pool.submit(
+                prefetch_case_uv, self._dirs[lo: lo + self._chunk]
+            )
+
+    def ensure(self, case_id: int) -> None:
+        """Call once per case: on a chunk boundary, wait for this
+        chunk's in-flight prefetch and kick off the next chunk's."""
+        if case_id % self._chunk:
+            return
+        k = case_id // self._chunk
+        self._submit(k + 1)
+        fut = self._pending.pop(k, None)
+        if fut is not None:
+            fut.result()
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
 
 
 @dataclass
@@ -225,15 +264,11 @@ def build_auto_dataset(
     params_list: List[Dict[str, float]] = []
 
     # Parallel native batch-reads of the cases' u/v files (no-op
-    # without the compiled library; data/fast_io.py), in chunks of
-    # PREFETCH_CHUNK cases so peak residency is one chunk of raw
-    # arrays, not the whole split (the loop consumes cache entries as
-    # it packs them).
+    # without the compiled library; data/fast_io.py), chunked and
+    # overlapped: chunk k+1 reads while chunk k packs (_ChunkPrefetcher).
+    prefetcher = _ChunkPrefetcher(case_dirs)
     for case_id, case_dir in enumerate(case_dirs):
-        if case_id % PREFETCH_CHUNK == 0:
-            prefetch_case_uv(
-                case_dirs[case_id:case_id + PREFETCH_CHUNK]
-            )
+        prefetcher.ensure(case_id)
         case = load_case(problem, Path(case_dir))
         features = case.features  # (T, H, W, 3)
         all_features.append(features)
@@ -262,6 +297,7 @@ def build_auto_dataset(
         all_params.append(np.broadcast_to(pvec, (n_pairs, pvec.size)))
         all_case_ids.append(np.full((n_pairs,), case_id, dtype=np.int32))
 
+    prefetcher.close()
     assert all_inputs, "no training pairs produced"
     return AutoDataset(
         inputs=np.concatenate(all_inputs).astype(np.float32),
@@ -300,11 +336,9 @@ def build_frame_dataset(
     keys = FRAME_PARAM_KEYS[problem]
     frames, frame_t, params_rows, case_ids = [], [], [], []
     params_list: List[Dict[str, float]] = []
+    prefetcher = _ChunkPrefetcher(case_dirs)
     for case_id, case_dir in enumerate(case_dirs):
-        if case_id % PREFETCH_CHUNK == 0:
-            prefetch_case_uv(
-                case_dirs[case_id:case_id + PREFETCH_CHUNK]
-            )
+        prefetcher.ensure(case_id)
         case = load_case(problem, Path(case_dir))
         normalize_case_params(problem, case.params, norm_props, norm_bc)
         params_list.append(case.params)
@@ -316,6 +350,7 @@ def build_frame_dataset(
         frame_t.append(np.arange(T, dtype=np.float32))
         params_rows.append(np.broadcast_to(pvec, (T, pvec.size)))
         case_ids.append(np.full((T,), case_id, dtype=np.int32))
+    prefetcher.close()
     return FrameDataset(
         frames=np.concatenate(frames).astype(np.float32),
         frame_t=np.concatenate(frame_t),

@@ -126,10 +126,14 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     """Exact-erf GELU, ``x·Φ(x)`` (torch ``F.gelu`` default semantics).
 
     Computes erf with the Abramowitz–Stegun 7.1.26 rational
-    approximation instead of XLA's erf lowering: max abs error vs
-    ``jax.nn.gelu(approximate=False)`` is 7.2e-7 over [-8, 8] (far
-    below the bf16 matmul noise floor and the 2e-5 golden-parity
-    tolerance), and it is ~2× faster on the TPU VPU — the erf was ~25 %
+    approximation instead of XLA's erf lowering: in float32, max abs
+    error vs ``jax.nn.gelu(approximate=False)`` is 7.2e-7 over [-8, 8]
+    (far below the bf16 matmul noise floor and the 2e-5 golden-parity
+    tolerance). Under bf16 mixed precision the polynomial itself
+    evaluates in bf16, so the error is set by bf16 rounding (~1e-2
+    relative) — same as any erf implementation would be at that dtype;
+    the 7.2e-7 bound is f32-only. It is ~2× faster on the TPU VPU —
+    the erf was ~25 %
     of the flagship FNO rollout step (measured on v5e; see
     PARITY.md §perf). Note this is *not* the tanh approximation
     (``approximate=True``), whose error is ~1e-3.

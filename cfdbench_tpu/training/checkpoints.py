@@ -53,6 +53,27 @@ def save_params(params: Any, ckpt_dir: Path) -> None:
         )
 
 
+def _explain_tree_mismatch(ckpt_path: Path, err: Exception) -> None:
+    """Turn an Orbax structure-mismatch error into an actionable one for
+    the known ``--model latent_diffusion2`` rename: checkpoints trained
+    before the non-lite LatentDiffusionCfdModel2 existed carry the Lite
+    param tree (conv ``cond_encoder`` instead of cross-attention) and
+    must be re-tested/resumed with ``--model latent_diffusion_lite``."""
+    names = ""
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            names = str(ckptr.metadata(ckpt_path.absolute()))
+    except Exception:
+        pass
+    if "cond_encoder" in names or "cond_encoder" in str(err):
+        raise ValueError(
+            f"checkpoint at {ckpt_path} has the LatentDiffusion *Lite* "
+            "param tree (conv cond_encoder); it was trained when "
+            "--model latent_diffusion2 still meant the Lite variant. "
+            "Re-run with --model latent_diffusion_lite."
+        ) from err
+
+
 def load_params(template: Any, ckpt_dir: Path) -> Any:
     ckpt_dir = Path(ckpt_dir)
     if _HAS_ORBAX and (ckpt_dir / "model").exists():
@@ -60,9 +81,13 @@ def load_params(template: Any, ckpt_dir: Path) -> Any:
             target = jax.tree.map(
                 lambda x: jax.device_get(x), template
             )
-            return ckptr.restore(
-                (ckpt_dir / "model").absolute(), target
-            )
+            try:
+                return ckptr.restore(
+                    (ckpt_dir / "model").absolute(), target
+                )
+            except Exception as e:
+                _explain_tree_mismatch(ckpt_dir / "model", e)
+                raise
     data = (ckpt_dir / "model.msgpack").read_bytes()
     return serialization.from_bytes(template, data)
 
