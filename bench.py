@@ -51,37 +51,67 @@ FLAGSHIP = dict(depth=4, hidden=32, modes=12, h=64, w=64)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
 
 
-def _setup(n_cases, h=64, w=64, hidden=None):
+def _make_model(model: str = "fno", hidden=None):
+    """Flagship-config constructors for the benched auto models (same
+    defaults as the reference's ``--model`` hparams, ``src/args.py``)."""
+    if model == "fno":
+        from cfdbench_tpu.models.fno import Fno2d
+
+        return Fno2d(
+            in_chan=2, out_chan=2, n_case_params=5,
+            num_layers=FLAGSHIP["depth"], modes1=FLAGSHIP["modes"],
+            modes2=FLAGSHIP["modes"],
+            hidden_dim=hidden or FLAGSHIP["hidden"],
+        )
+    if model == "unet":
+        from cfdbench_tpu.models.unet import UNet
+
+        return UNet(in_chan=2, out_chan=2, n_case_params=5,
+                    dim=hidden or 12)
+    if model == "resnet":
+        from cfdbench_tpu.models.resnet import ResNet
+
+        return ResNet(in_chan=2, out_chan=2, n_case_params=5,
+                      hidden_chan=hidden or 32)
+    raise ValueError(f"unknown bench model {model!r}")
+
+
+def _setup(n_cases, h=64, w=64, hidden=None, model="fno"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from cfdbench_tpu.metrics import loss_name_to_fn
-    from cfdbench_tpu.models.fno import Fno2d
     from cfdbench_tpu.training.trainer_auto import AutoTask
 
-    model = Fno2d(
-        in_chan=2, out_chan=2, n_case_params=5,
-        num_layers=FLAGSHIP["depth"], modes1=FLAGSHIP["modes"],
-        modes2=FLAGSHIP["modes"],
-        hidden_dim=hidden or FLAGSHIP["hidden"],
-    )
-    task = AutoTask(model, loss_name_to_fn("nmse"))
+    net = _make_model(model, hidden)
+    task = AutoTask(net, loss_name_to_fn("nmse"))
     rng = np.random.default_rng(0)
     frame0 = jnp.asarray(rng.standard_normal((n_cases, h, w, 2)), jnp.float32)
     case_params = jnp.asarray(rng.standard_normal((n_cases, 5)), jnp.float32)
     mask = jnp.ones((n_cases, h, w, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), frame0, case_params, mask)
-    return task, variables["params"], frame0, case_params, mask
+    params, model_state = task.init_variables(
+        jax.random.PRNGKey(0),
+        dict(inputs=frame0, case_params=case_params, mask=mask),
+    )
+    return task, params, frame0, case_params, mask, model_state
 
 
-def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
+def _timed_scan(
+    task, params, frame0, case_params, mask, steps, iters=8,
+    model_state=None,
+):
     import jax
     import numpy as np
 
     from cfdbench_tpu.training.rollout import make_rollout_fn
 
-    r = make_rollout_fn(task.predict_frame, steps=steps)
+    r = make_rollout_fn(
+        lambda p, f, cp, m: task.predict_frame(
+            p, f, cp, m, model_state=model_state or {}
+        ),
+        steps=steps,
+    )
     sink = jax.jit(lambda *a: r(*a).sum())
     float(sink(params, frame0, case_params, mask))  # warmup/compile
     times = []
@@ -92,7 +122,7 @@ def _timed_scan(task, params, frame0, case_params, mask, steps, iters=8):
     return float(np.median(times))
 
 
-def worker_rollout(batch, steps=20, dtype="float32"):
+def worker_rollout(batch, steps=20, dtype="float32", model="fno"):
     """``dtype="bfloat16"`` additionally stores params/activations in
     bf16 (multiplies are bf16 on TPU either way; this halves HBM
     traffic at the cost of activation precision — measured +29% at
@@ -100,15 +130,23 @@ def worker_rollout(batch, steps=20, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
-    task, params, frame0, case_params, mask = _setup(batch)
+    task, params, frame0, case_params, mask, mstate = _setup(
+        batch, model=model
+    )
     if dtype != "float32":
         dt = jnp.dtype(dtype)
         params = jax.tree.map(lambda x: x.astype(dt), params)
         frame0, case_params, mask = (
             frame0.astype(dt), case_params.astype(dt), mask.astype(dt)
         )
-    t_long = _timed_scan(task, params, frame0, case_params, mask, 4 * steps)
-    t_short = _timed_scan(task, params, frame0, case_params, mask, steps)
+    t_long = _timed_scan(
+        task, params, frame0, case_params, mask, 4 * steps,
+        model_state=mstate,
+    )
+    t_short = _timed_scan(
+        task, params, frame0, case_params, mask, steps,
+        model_state=mstate,
+    )
     marginal = (t_long - t_short) / (3 * steps)
     return dict(frames_per_sec=batch / marginal)
 
@@ -127,7 +165,7 @@ def worker_rollout_pallas(batch, steps=20, batch_tile=1):
 
     from cfdbench_tpu.models.fno import fno2d_apply_pallas_head
 
-    task, params, frame0, case_params, mask = _setup(batch)
+    task, params, frame0, case_params, mask, _ = _setup(batch)
     model = task.model
 
     def predict_pallas(p, f, cp, m):
@@ -193,7 +231,14 @@ def _analytic_fno_forward_flops(batch):
     return batch * (fc0 + FLAGSHIP["depth"] * per_block + head)
 
 
-def worker_train_step(batch, iters=16, hidden=None, mixed=False):
+def worker_train_step(batch, iters=16, hidden=None, mixed=True,
+                      model="fno"):
+    """``mixed=True`` (the optimized default since round 3) measures
+    the true-mixed-precision step: bf16 params+activations in fwd/bwd,
+    f32 master weights/optimizer/loss — the same path
+    ``--use_mixed_precision`` drives in the trainers. ``mixed=False``
+    measures the all-f32-storage step (matmuls are still bf16, XLA's
+    TPU default)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -204,7 +249,9 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=False):
         make_train_step,
     )
 
-    task, params, frame0, case_params, mask = _setup(batch, hidden=hidden)
+    task, params, frame0, case_params, mask, mstate = _setup(
+        batch, hidden=hidden, model=model
+    )
     if mixed:  # true mixed precision (bf16 fwd/bwd, f32 master+loss)
         task.compute_dtype = jnp.bfloat16
     rng = np.random.default_rng(1)
@@ -219,7 +266,7 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=False):
     )
     tx = make_adam(1e-3, steps_per_epoch=100)
     task_state = TrainState(
-        params, {}, tx.init(params), jnp.zeros((), jnp.int32)
+        params, mstate, tx.init(params), jnp.zeros((), jnp.int32)
     )
     step = make_train_step(task, tx)
 
@@ -404,12 +451,93 @@ def worker_train_nonauto(batch=64, iters=16):
     )
 
 
+def worker_train_loop(batch=16, n_examples=2048, prefetch=2,
+                      lazy_scores=True, mixed=True):
+    """Throughput of the REAL trainer inner loop (host batching +
+    device placement + jitted step + loss bookkeeping), not just the
+    isolated step: measures the async double-buffered input pipeline
+    (``data.pipeline.device_prefetch``) and the device-side loss
+    accumulation against the synchronous per-step alternative
+    (``prefetch=0, lazy_scores=False`` emulates the reference's
+    per-batch ``.cuda()`` + per-step ``loss.item()`` structure,
+    ``src/train_auto.py:228-257``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfdbench_tpu.data.pipeline import batches, device_prefetch
+    from cfdbench_tpu.training.optim import make_adam
+    from cfdbench_tpu.training.trainer_auto import (
+        TrainState,
+        make_train_step,
+    )
+
+    task, params, f0, cp, mask, mstate = _setup(batch)
+    if mixed:
+        task.compute_dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    arrays = dict(
+        inputs=rng.standard_normal((n_examples, 64, 64, 2)).astype(
+            np.float32
+        ),
+        labels=rng.standard_normal((n_examples, 64, 64, 2)).astype(
+            np.float32
+        ),
+        mask=np.ones((n_examples, 64, 64, 1), np.float32),
+        case_params=rng.standard_normal((n_examples, 5)).astype(
+            np.float32
+        ),
+    )
+    tx = make_adam(1e-3, steps_per_epoch=100)
+    state = TrainState(
+        params, mstate, tx.init(params), jnp.zeros((), jnp.int32)
+    )
+    step = make_train_step(task, tx)
+
+    def epoch(state, n=None):
+        # one epoch over arrays; returns (state, steps, last scores)
+        it = batches(
+            arrays, batch, shuffle=True,
+            rng=np.random.default_rng(1),
+        )
+        if prefetch:
+            it = device_prefetch(it, size=prefetch)
+        losses = []
+        k = 0
+        for b in it:
+            if not prefetch:
+                b = jax.device_put(b)
+            state, scores = step(state, b)
+            if lazy_scores:
+                losses.append(scores["mse"])
+            else:
+                losses.append(float(scores["mse"]))
+            k += 1
+            if n and k >= n:
+                break
+        if lazy_scores:
+            np.asarray(jnp.stack(losses))
+        return state, k, scores
+
+    state, _, scores = epoch(state, n=4)  # warmup/compile
+    float(scores["mse"])
+    t0 = time.perf_counter()
+    state, k, scores = epoch(state)
+    float(scores["mse"])
+    dt = time.perf_counter() - t0
+    return dict(
+        steps_per_sec=k / dt,
+        examples_per_sec=k * batch / dt,
+        ms_per_step=1e3 * dt / k,
+    )
+
+
 def worker_baseline(steps=20, n_cases=16):
     """Reference execution structure: per-case Python loop, batch 1, one
     device dispatch per step, completion forced per case chain."""
     import jax
 
-    task, params, frame0, case_params, mask = _setup(n_cases)
+    task, params, frame0, case_params, mask, _ = _setup(n_cases)
     step_fn = jax.jit(lambda p, f, cp, m: task.predict_frame(p, f, cp, m))
 
     def run(s):
@@ -435,6 +563,7 @@ WORKERS = dict(
     rollout=worker_rollout,
     rollout_pallas=worker_rollout_pallas,
     train=worker_train_step,
+    train_loop=worker_train_loop,
     train_gencast=worker_train_gencast,
     train_nonauto=worker_train_nonauto,
     baseline=worker_baseline,
@@ -515,23 +644,53 @@ def main():
         round(bf16s["frames_per_sec"], 1) if bf16s else None
     )
 
+    # Flagship train step: MIXED precision is the optimized default
+    # (bf16 fwd/bwd, f32 master — what --use_mixed_precision drives);
+    # f32-storage and f32-matmul (highest) variants for reference.
     train = run_worker_subprocess(dict(kind="train", batch=128))
     if train:
-        details["train_step_b128"] = dict(
+        details["train_step_b128_mixed"] = dict(
             ms_per_step=round(train["ms_per_step"], 3),
             flops_per_step=round(train["flops_per_step"]),
             achieved_tflops=round(train["achieved_tflops"], 2),
             mfu_pct=round(train["mfu_pct"], 2),
             examples_per_sec=round(train["examples_per_sec"], 1),
         )
+    train_f32s = run_worker_subprocess(
+        dict(kind="train", batch=128, mixed=False)
+    )
+    if train_f32s:
+        details["train_step_b128_f32_storage"] = dict(
+            ms_per_step=round(train_f32s["ms_per_step"], 3),
+            mfu_pct=round(train_f32s["mfu_pct"], 2),
+        )
     train_f32 = run_worker_subprocess(
-        dict(kind="train", batch=128, precision="highest")
+        dict(kind="train", batch=128, mixed=False, precision="highest")
     )
     if train_f32:
         details["train_step_b128_f32"] = dict(
             ms_per_step=round(train_f32["ms_per_step"], 3),
             achieved_tflops=round(train_f32["achieved_tflops"], 2),
         )
+    # Conv family (UNet / ResNet): train + rollout — the reference's
+    # timing harness scope covers any --model (src/train_auto.py:124-130).
+    for m in ("unet", "resnet"):
+        t = run_worker_subprocess(
+            dict(kind="train", batch=128, model=m)
+        )
+        if t:
+            details[f"{m}_train_b128_mixed"] = dict(
+                ms_per_step=round(t["ms_per_step"], 3),
+                mfu_pct=round(t["mfu_pct"], 2),
+                examples_per_sec=round(t["examples_per_sec"], 1),
+            )
+        r = run_worker_subprocess(
+            dict(kind="rollout", batch=128, model=m)
+        )
+        if r:
+            details[f"{m}_rollout_fps_b128"] = round(
+                r["frames_per_sec"], 1
+            )
     gc = run_worker_subprocess(dict(kind="train_gencast", batch=32))
     if gc:
         details["gencast_train_b32"] = {

@@ -56,3 +56,34 @@ def batches(
 
 def num_batches(n: int, batch_size: int) -> int:
     return -(-n // batch_size)
+
+
+def device_prefetch(batch_iter, size: int = 2, sharding_fn=None):
+    """Asynchronous double-buffered device feed.
+
+    Wraps a host-batch iterator so that batch N+1 (and N+2, … up to
+    ``size``) is already being transferred to device while the step
+    consuming batch N runs: ``jax.device_put`` is asynchronous, so
+    issuing it ahead of consumption overlaps host→device DMA with
+    compute. The reference's ``DataLoader(num_workers=4)`` +
+    per-batch ``.cuda()`` covers the host side but still transfers
+    synchronously on use (``src/train_auto.py:33-58``).
+
+    ``sharding_fn(batch) -> sharding-pytree`` computes the placement per
+    batch (e.g. ``batch_sharding_spatial`` needs shapes); None places on
+    the default device. Order is preserved exactly.
+    """
+    import jax
+    from collections import deque
+
+    q = deque()
+    for b in batch_iter:
+        if sharding_fn is not None:
+            b = jax.device_put(b, sharding_fn(b))
+        else:
+            b = jax.device_put(b)
+        q.append(b)
+        if len(q) > size:
+            yield q.popleft()
+    while q:
+        yield q.popleft()

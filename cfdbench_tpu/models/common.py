@@ -61,6 +61,35 @@ class Dense(nn.Module):
         )(x)
 
 
+@jax.custom_vjp
+def dense_thin(x, kernel, bias):
+    """``x @ kernel + bias`` for very narrow outputs (the FNO head's
+    fc2 has N=2). Forward is the plain matmul; the backward computes
+    ``g @ kernelᵀ`` as a broadcast multiply-reduce over the N≤8 output
+    channels instead of a degenerate K=N matmul — profiled on v5e, the
+    K=2 transpose dot ran at <500 GB/s effective and was the single
+    most expensive op in the flagship train step (BASELINE.md
+    §anatomy)."""
+    return x @ kernel + bias
+
+
+def _dense_thin_fwd(x, kernel, bias):
+    return x @ kernel + bias, (x, kernel)
+
+
+def _dense_thin_bwd(res, g):
+    x, kernel = res
+    # (rows, C) = Σ_o g[rows, o] · kernel[C, o]: elementwise FMA over
+    # the tiny o axis, fused by XLA (no MXU pass, no K=N padding).
+    gx = jnp.sum(g[..., None, :] * kernel, axis=-1)
+    gk = jnp.einsum("...c,...o->co", x, g)
+    gb = jnp.sum(g, axis=tuple(range(g.ndim - 1)))
+    return gx, gk, gb
+
+
+dense_thin.defvjp(_dense_thin_fwd, _dense_thin_bwd)
+
+
 class Conv(nn.Module):
     """NHWC conv with torch-default init and optional replicate padding.
 

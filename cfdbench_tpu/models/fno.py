@@ -21,6 +21,7 @@ from flax import linen as nn
 from ..ops.spectral import init_spectral_weights, spectral_conv2d
 from .common import (
     Dense,
+    dense_thin,
     gelu_exact,
     broadcast_params_to_channels,
     coord_channels,
@@ -61,11 +62,40 @@ class FnoBlock(nn.Module):
         return x
 
 
+def _fno_head(mdl, x):
+    """fc1(→128) → GELU → fc2(→out_chan) head (``fno2d.py:175-176,
+    228-230``). Plain function (first arg: the Fno2d module) so it can
+    be lifted with ``nn.remat`` without changing the param tree —
+    explicit names keep the reference layout Dense_1/Dense_2.
+
+    (The head is ~30 % of the train step at the flagship width —
+    fc1 K=32, fc2 N=2 with a degenerate K=2 transpose in the backward
+    pass. A block-diagonal "fold rows into lanes" relayout was measured
+    and REJECTED: on TPU a reshape that regroups the minor/lane axis is
+    a physical copy, and the extra 134 MB relayouts cost more than the
+    MXU padding they save — see BASELINE.md §anatomy.)"""
+    x = Dense(128, name="Dense_1")(x)  # fc1
+    x = gelu_exact(x)
+    # fc2 via dense_thin: same matmul, backward without the degenerate
+    # K=out_chan transpose dot (models/common.py::dense_thin).
+    fc2 = Dense(mdl.out_chan, name="Dense_2")
+    _ = fc2(x[:, :1, :1, :])  # instantiate params (output unused)
+    inner = fc2.variables["params"]["Dense_0"]
+    return dense_thin(x, inner["kernel"], inner["bias"])
+
+
 class Fno2d(nn.Module):
     """Autoregressive FNO. ``__call__(inputs, case_params, mask) → preds``.
 
     inputs: (B, H, W, in_chan); case_params: (B, P); mask: (B, H, W, 1)
     or None. Returns (B, H, W, out_chan), masked.
+
+    ``remat_head`` rematerializes the head in the backward pass instead
+    of saving its two (B, H, W, 128) intermediates (the largest tensors
+    in the model — 4× wider than the hidden dim): recomputing fc1+GELU
+    costs less than writing + re-reading 2×134 MB at the flagship
+    batch (measured on v5e; BASELINE.md anatomy table). No effect on
+    forward-only (rollout) execution or on numerics.
     """
 
     in_chan: int = 2
@@ -76,6 +106,7 @@ class Fno2d(nn.Module):
     modes2: int = 12
     hidden_dim: int = 32
     padding: Optional[int] = None
+    remat_head: bool = True
 
     regime = "auto"
     pointwise = False
@@ -102,9 +133,8 @@ class Fno2d(nn.Module):
             x = FnoBlock(self.hidden_dim, self.modes1, self.modes2)(x)
         if self.padding is not None:
             x = x[:, : -self.padding, : -self.padding, :]
-        x = Dense(128)(x)  # fc1
-        x = gelu_exact(x)
-        preds = Dense(self.out_chan)(x)  # fc2
+        head = nn.remat(_fno_head) if self.remat_head else _fno_head
+        preds = head(self, x)
         return preds * mask
 
 

@@ -254,6 +254,32 @@ def spectral_conv2d_matmul_packed(
     return y.astype(out_dtype)
 
 
+def _mode_group(packed_ch: int, m2: int) -> int:
+    """How many adjacent m2 modes to fold into one block-diagonal
+    matmul so the contraction axis reaches the 128-lane MXU tile.
+    Returns the largest g ≤ 128//packed_ch that divides m2 (1 when the
+    channel axis already fills the tile)."""
+    g = max(1, 128 // max(packed_ch, 1))
+    while g > 1 and m2 % g:
+        g -= 1
+    return g
+
+
+def _block_diag_modes(Wblk: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(Ci, Co, K, m2) per-mode weights → (g·Ci, g·Co, K, m2/g)
+    block-diagonal weights pairing each run of g adjacent m2 modes,
+    matching the reshape (…, m2, C) → (…, m2/g, g·C) of activations."""
+    Ci, Co, K, m2 = Wblk.shape
+    rows = []
+    for a in range(g):
+        Wa = Wblk[:, :, :, a::g]  # (Ci, Co, K, m2/g) — mode p·g+a
+        row = [
+            Wa if b == a else jnp.zeros_like(Wa) for b in range(g)
+        ]
+        rows.append(jnp.concatenate(row, axis=1))  # (Ci, g·Co, …)
+    return jnp.concatenate(rows, axis=0)  # (g·Ci, g·Co, K, m2/g)
+
+
 @lru_cache(maxsize=None)
 def _dft_factors_wfirst(H: int, W: int, m1: int, m2: int):
     """Block factor matrices for the W-first packed path."""
@@ -317,7 +343,23 @@ def spectral_conv2d_matmul_wfirst(
         ],
         axis=0,
     )  # (2Ci, 2Co, K, m2)
-    y2 = jnp.einsum("bkmi,iokm->bkmo", vc, Wblk)  # (B, K, m2, 2Co)
+    # MXU lane fill: the per-mode matmul contracts 2·Cin channels; at
+    # the flagship width (hidden 32 → 64 lanes) that pads half of the
+    # 128-lane MXU tiles with zeros. Group g adjacent m2 modes into one
+    # block-diagonal matmul so contraction/output reach 128 lanes —
+    # the padding that the hardware would insert anyway is filled with
+    # the neighboring mode's real work (measured ~2× on this einsum).
+    Cin2, Cout2 = Wblk.shape[0], Wblk.shape[1]
+    g = _mode_group(Cin2, m2)
+    if g > 1:
+        # Pair adjacent modes: reshape (…, m2, C) → (…, m2/g, g·C) is a
+        # free relayout (m2 and channels are the two minor axes).
+        vc = vc.reshape(B, K, m2 // g, g * Cin2)
+        Wg = _block_diag_modes(Wblk, g)  # (g·2Ci, g·2Co, K, m2/g)
+        y2 = jnp.einsum("bkmi,iokm->bkmo", vc, Wg)
+        y2 = y2.reshape(B, K, m2, Cout2)
+    else:
+        y2 = jnp.einsum("bkmi,iokm->bkmo", vc, Wblk)  # (B, K, m2, 2Co)
     Co = y2.shape[-1] // 2
     # repack re/im from the channel axis onto the k axis: (B, 2K, m2, Co)
     y3 = jnp.concatenate([y2[..., :Co], y2[..., Co:]], axis=1)
@@ -330,14 +372,130 @@ def spectral_conv2d_matmul_wfirst(
     return y.astype(out_dtype)
 
 
-# Default backend: "matmul_wfirst" is the TPU-native path (MXU-bound, no
-# FFT op, smallest intermediates); "fft" is the semantic reference. All
-# are numerically equivalent.
-SPECTRAL_BACKEND = "matmul_wfirst"
+@lru_cache(maxsize=None)
+def _dft_factors_rsep(H: int, W: int, m1: int, m2: int):
+    """Factor tensors for the separate-re/im-axis path: the 2-valued
+    re/im index is its own (leading/small) array axis instead of being
+    concatenated onto a data axis."""
+    E1r, E1i, E2r, E2i, Ar, Ai, Br, Bi = _dft_factors(H, W, m1, m2)
+    E2s5 = np.stack([E2r, E2i])                       # (2, m2, W)
+    E1_5 = np.stack([
+        np.stack([E1r, -E1i]), np.stack([E1i, E1r])
+    ])                                                # (2, 2, K, H)
+    A5 = np.stack([
+        np.stack([Ar, -Ai]), np.stack([Ai, Ar])
+    ])                                                # (2, 2, H, K)
+    B5 = np.stack([Br, -Bi], axis=1)                  # (W, 2, m2)
+    return E2s5, E1_5, A5, B5
+
+
+def spectral_conv2d_matmul_rsep(
+    x: jnp.ndarray,  # (B, H, W, Cin)
+    weights: jnp.ndarray,  # (2, 2, Cin, Cout, m1, m2)
+    modes1: int,
+    modes2: int,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Same math as :func:`spectral_conv2d_matmul_wfirst`, but the
+    re/im halves live on a dedicated length-2 axis placed so that every
+    complex-bookkeeping step is either a free axis-split view or a
+    small mode-space transpose. The W-first path's concatenations move
+    12-33 MB image-space tensors per repack, and their transposes
+    (``split`` ops) show up again in the backward pass — here the only
+    data movement between matmuls is on the ~5 MB retained-mode
+    tensors. Profiled motivation: BASELINE.md §anatomy."""
+    B, H, W, Cin = x.shape
+    wf = W // 2 + 1
+    m1 = min(modes1, H // 2)
+    m2 = min(modes2, wf)
+    K = 2 * m1
+    E2s5, E1_5, A5, B5 = _dft_factors_rsep(H, W, m1, m2)
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+        E2s5, E1_5, A5, B5 = (
+            f.astype(compute_dtype) for f in (E2s5, E1_5, A5, B5)
+        )
+
+    # 1) column DFT: (B, H, 2, m2, C), r = re/im
+    u = jnp.einsum("rmw,bhwc->bhrmc", E2s5, x)
+    # 2) row DFT (complex): contraction over the adjacent (h, r) pair
+    v = jnp.einsum("srkh,bhrmc->bkmsc", E1_5, u)  # (B, K, m2, 2, C)
+    # 3) per-mode channel mixing.
+    if Cin >= 128:
+        # Wide widths: the channel axis already fills the MXU lanes, so
+        # run the complex mixing per corner with raw weight *slices* —
+        # building the packed block matrix would materialize an
+        # O(4·Ci·Co·m1·m2) tensor per block per step (151 MB at hidden
+        # 256) in the forward AND split it again in the backward.
+        Co = weights.shape[3]
+        y6_parts = []
+        for c in range(2):  # corner 0 = rows [:m1], corner 1 = [-m1:]
+            vs = v[:, c * m1: (c + 1) * m1]  # (B, m1, m2, 2, C)
+            vr, vi = vs[:, :, :, 0], vs[:, :, :, 1]
+            Wr = weights[c, 0, :, :, :m1, :m2]
+            Wi = weights[c, 1, :, :, :m1, :m2]
+            yr = jnp.einsum("bkmi,iokm->bkmo", vr, Wr) - jnp.einsum(
+                "bkmi,iokm->bkmo", vi, Wi
+            )
+            yi = jnp.einsum("bkmi,iokm->bkmo", vr, Wi) + jnp.einsum(
+                "bkmi,iokm->bkmo", vi, Wr
+            )
+            y6_parts.append(jnp.stack([yr, yi], axis=3))
+        y6 = jnp.concatenate(y6_parts, axis=1)  # (B, K, m2, 2, Co)
+    else:
+        # Narrow widths: pack re/im into the channel axis (free view —
+        # (s, c) are the two minor axes) and fill the MXU lanes by
+        # grouping adjacent modes block-diagonally.
+        vc = v.reshape(B, K, m2, 2 * Cin)
+        Wr = jnp.concatenate(
+            [weights[0, 0, :, :, :m1, :m2],
+             weights[1, 0, :, :, :m1, :m2]],
+            axis=2,
+        )
+        Wi = jnp.concatenate(
+            [weights[0, 1, :, :, :m1, :m2],
+             weights[1, 1, :, :, :m1, :m2]],
+            axis=2,
+        )
+        Wblk = jnp.concatenate(
+            [
+                jnp.concatenate([Wr, Wi], axis=1),
+                jnp.concatenate([-Wi, Wr], axis=1),
+            ],
+            axis=0,
+        )  # (2Ci, 2Co, K, m2)
+        g = _mode_group(Wblk.shape[0], m2)
+        if g > 1:
+            vcg = vc.reshape(B, K, m2 // g, g * 2 * Cin)
+            Wg = _block_diag_modes(Wblk, g)
+            y2 = jnp.einsum("bkmi,iokm->bkmo", vcg, Wg)
+            y2 = y2.reshape(B, K, m2, Wblk.shape[1])
+        else:
+            y2 = jnp.einsum("bkmi,iokm->bkmo", vc, Wblk)
+        Co = y2.shape[-1] // 2
+        y6 = y2.reshape(B, K, m2, 2, Co)  # free view: t = re/im
+    # 4) inverse row DFT (complex): small mode-space operand
+    z = jnp.einsum("sthk,bkmto->bhsmo", A5, y6)  # (B, H, 2, m2, Co)
+    # 5) inverse column DFT, real part: contraction over adjacent (s, m)
+    y = jnp.einsum("wsm,bhsmo->bhwo", B5, z)
+    return y.astype(out_dtype)
+
+
+# Default backend: "matmul_rsep" (separate re/im axis + MXU mode
+# grouping) — measured fastest for training at both narrow and wide
+# widths on v5e (equal to wfirst at hidden 32, 1.22x at hidden 256
+# where wfirst's image-space repacks and packed-weight construction
+# dominate); "fft" is the semantic reference. All are numerically
+# equivalent (unit-tested against each other and torch).
+SPECTRAL_BACKEND = "matmul_rsep"
 
 
 def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
     b = backend or SPECTRAL_BACKEND
+    if b == "matmul_rsep":
+        return spectral_conv2d_matmul_rsep(x, weights, modes1, modes2)
     if b == "matmul_wfirst":
         return spectral_conv2d_matmul_wfirst(x, weights, modes1, modes2)
     if b == "matmul_packed":

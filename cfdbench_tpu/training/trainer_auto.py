@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from ..data.datasets import AutoDataset
-from ..data.pipeline import batches, num_batches
+from ..data.pipeline import batches, device_prefetch, num_batches
 from ..metrics import LossFn
 from ..parallel.mesh import (
     batch_sharding,
@@ -520,24 +520,36 @@ def train(
     train_losses = []
     objective = task.loss_fn.objective
 
+    if mesh is not None:
+        def sharding_fn(b):
+            return (
+                batch_sharding_spatial(mesh, b)
+                if spatial else batch_sharding(mesh)
+            )
+    else:
+        sharding_fn = None
+
     for ep in range(start_epoch, num_epochs):
         ep_start = time.time()
-        ep_losses = []
+        # Per-step losses stay on device (a float() here would sync the
+        # host every step — ~28 ms on a tunneled backend — and stall
+        # the dispatch pipeline); one stacked transfer per epoch.
+        ep_losses_dev = []
         rng = np.random.default_rng(seed * 1_000_003 + ep)
         for step, batch in enumerate(
-            batches(
-                arrays, batch_size, shuffle=True, rng=rng,
-                pad_multiple=mesh.shape["data"] if mesh is not None else 1,
+            device_prefetch(
+                batches(
+                    arrays, batch_size, shuffle=True, rng=rng,
+                    pad_multiple=(
+                        mesh.shape["data"] if mesh is not None else 1
+                    ),
+                ),
+                size=2,
+                sharding_fn=sharding_fn,
             )
         ):
-            if mesh is not None:
-                batch = jax.device_put(
-                    batch,
-                    batch_sharding_spatial(mesh, batch)
-                    if spatial else batch_sharding(mesh),
-                )
             state, scores = train_step(state, batch)
-            ep_losses.append(float(scores[objective]))
+            ep_losses_dev.append(scores[objective])
             global_step += 1
             if global_step % log_interval == 0:
                 info = dict(
@@ -545,7 +557,7 @@ def train(
                     step=step,
                     mse=f"{float(scores['mse']):.3e}",
                     **{
-                        objective: f"{ep_losses[-1]:.3e}"
+                        objective: f"{float(scores[objective]):.3e}"
                         for _ in [0]
                         if objective != "mse"
                     },
@@ -553,6 +565,10 @@ def train(
                     time=round(time.time() - start_time),
                 )
                 print(info)
+        ep_losses = (
+            np.asarray(jnp.stack(ep_losses_dev)).tolist()
+            if ep_losses_dev else []
+        )
 
         if measure_time:
             force_completion(scores)

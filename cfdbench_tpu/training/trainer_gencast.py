@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.pipeline import batches, num_batches
+from ..data.pipeline import batches, device_prefetch, num_batches
 from ..data.wrapper import GenCastDataset
 from ..models.diffusion import GenCastCfdModel
 from ..parallel.mesh import batch_sharding, replicated_sharding
@@ -107,6 +107,11 @@ def train_gencast(
         if mesh is not None:
             return jax.device_put(batch, batch_sharding(mesh))
         return batch
+
+    # device_prefetch sharding hook: None -> default device placement.
+    put_sharding = (
+        (lambda b: batch_sharding(mesh)) if mesh is not None else None
+    )
 
     arrays = dataset_arrays(train_data)
     sample = {k: v[:2] for k, v in arrays.items()}
@@ -212,12 +217,16 @@ def train_gencast(
     for ep in range(start_epoch, num_epochs):
         rng = np.random.default_rng(seed * 104729 + ep)
         for i, batch in enumerate(
-            batches(
-                arrays, batch_size, shuffle=True, rng=rng,
-                pad_multiple=pad_mult,
+            device_prefetch(
+                batches(
+                    arrays, batch_size, shuffle=True, rng=rng,
+                    pad_multiple=pad_mult,
+                ),
+                size=2,
+                sharding_fn=put_sharding,
             )
         ):
-            state, scores, gnorm = train_step(state, put(batch))
+            state, scores, gnorm = train_step(state, batch)
             if (i + 1) % log_interval == 0:
                 print(
                     dict(

@@ -151,3 +151,61 @@ def test_mixed_precision_train_step(rng):
             for x in jax.tree.leaves(state.params)
         )
     assert np.isclose(losses[False], losses[True], rtol=0.05), losses
+
+
+def test_device_prefetch_order_and_weights():
+    """device_prefetch must preserve batch order, contents (incl. the
+    0/1 padding weights), and count, while placing batches on device
+    ahead of consumption."""
+    from cfdbench_tpu.data.pipeline import batches, device_prefetch
+
+    rng = np.random.default_rng(0)
+    arrays = dict(
+        inputs=rng.standard_normal((23, 4, 4, 2)).astype(np.float32),
+        labels=rng.standard_normal((23, 4, 4, 2)).astype(np.float32),
+    )
+    raw = list(
+        batches(arrays, 5, shuffle=True, rng=np.random.default_rng(7))
+    )
+    pre = list(
+        device_prefetch(
+            batches(
+                arrays, 5, shuffle=True, rng=np.random.default_rng(7)
+            ),
+            size=2,
+        )
+    )
+    assert len(pre) == len(raw) == 5
+    for a, b in zip(raw, pre):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+        assert isinstance(b["inputs"], jax.Array)
+    # final partial batch: 23 = 4*5 + 3 -> 3 real rows weighted 1
+    np.testing.assert_array_equal(
+        np.asarray(pre[-1]["weights"]), [1, 1, 1, 0, 0]
+    )
+
+
+def test_device_prefetch_with_sharding_fn():
+    from cfdbench_tpu.data.pipeline import batches, device_prefetch
+    from cfdbench_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(f"{jax.device_count()}x1")
+    arrays = dict(
+        inputs=np.ones((16, 4, 4, 2), np.float32),
+        labels=np.ones((16, 4, 4, 2), np.float32),
+    )
+    out = list(
+        device_prefetch(
+            batches(
+                arrays, 8, shuffle=False,
+                pad_multiple=mesh.shape["data"],
+            ),
+            size=2,
+            sharding_fn=lambda b: batch_sharding(mesh),
+        )
+    )
+    assert len(out) == 2
+    for b in out:
+        assert not b["inputs"].sharding.is_fully_replicated
