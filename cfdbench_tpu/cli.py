@@ -221,6 +221,7 @@ def main_auto(argv=None) -> None:
             plot_examples=bool(args.plot_train_examples),
             resume=bool(args.resume),
             spatial=bool(args.shard_spatial),
+            pp_microbatches=args.pp_microbatches,
         )
         if args.measure_time:
             # measure_time is a micro-bench: print ms/step and stop

@@ -155,6 +155,14 @@ class Args:
 
     # --- 7. TPU / parallelism (new; no reference equivalent) ---
     mesh_shape: str = "auto"  # "auto" | "N" | "NdxM" e.g. "4x2" (data x model)
+    pp_microbatches: int = 0
+    """Pipeline parallelism (GPipe): with --mesh_shape NxM (M ≥ 2
+    stages over the model axis) and --pp_microbatches K ≥ 1, the auto
+    trainer streams K microbatches per step through depth-split FNO
+    stages (activations move stage→stage by ppermute over ICI),
+    composing with dp over the data axis. Gradients are exact
+    (differentiable schedule; parity unit-tested on a CPU mesh).
+    FNO only; 0 disables (default)."""
     shard_spatial: int = 0
     """Spatial (sp) sharding: split field tensors' grid rows over the
     model mesh axis in addition to dp batching — for grids too large

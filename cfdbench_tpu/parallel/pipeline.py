@@ -17,9 +17,9 @@ Design (TPU-native, single program):
   device applies its stage to its current microbatch and ppermutes the
   activation to the next stage (the classic GPipe schedule — bubble
   fraction (S−1)/(n_micro+S−1)).
-- The lift (fc0) runs on stage 0 and the head (fc1→GELU→fc2→mask) on
-  stage S−1; other devices compute-and-discard them (SPMD executes one
-  program; the waste is negligible next to the blocks).
+- The lift (fc0) runs only on stage 0 and the head (fc1→GELU→fc2→mask)
+  only on stage S−1, gated by ``lax.cond`` on the stage index (one SPMD
+  program, runtime-divergent branches — no compute-and-discard waste).
 - Differentiable end-to-end: ``jax.grad`` through scan + ppermute gives
   the exact single-device gradients (1F1B scheduling is a memory
   optimization the 64×64 benchmark does not need).
@@ -150,12 +150,27 @@ def make_pipelined_fno_forward(
         def tick(carry, t):
             state, outs = carry
             src = jnp.clip(t, 0, n_micro - 1)
-            lifted = lift(
-                lift_p, micro_x[src], micro_cp[src], micro_m[src]
+            # Stage-conditional lift/head: only stage 0 computes the
+            # lift and only stage S−1 computes the head. Under SPMD
+            # every device compiles both branches but executes one at
+            # runtime (axis_index is uniform per shard), so the other
+            # stages skip the work instead of computing-and-discarding.
+            inp = jax.lax.cond(
+                idx == 0,
+                lambda: lift(
+                    lift_p, micro_x[src], micro_cp[src], micro_m[src]
+                ),
+                lambda: state,
             )
-            inp = jnp.where(idx == 0, lifted, state)
             act = stage_apply(stages, inp)
-            frame = head(fc1_p, fc2_p, act, micro_m[jnp.clip(t - (S - 1), 0, n_micro - 1)])
+            out_m = micro_m[jnp.clip(t - (S - 1), 0, n_micro - 1)]
+            frame = jax.lax.cond(
+                idx == S - 1,
+                lambda: head(fc1_p, fc2_p, act, out_m),
+                lambda: jnp.zeros(
+                    act.shape[:3] + (model.out_chan,), act.dtype
+                ),
+            )
             dst = t - (S - 1)
             valid = jnp.logical_and(t >= S - 1, idx == S - 1)
             outs = jax.lax.dynamic_update_slice(

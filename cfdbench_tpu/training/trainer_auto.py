@@ -207,6 +207,63 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=0)
 
 
+def make_pp_train_step(
+    task: AutoTask,
+    tx: optax.GradientTransformation,
+    mesh,
+    n_micro: int,
+):
+    """Training step whose forward runs pipeline-parallel over the
+    mesh's model axis (``parallel.pipeline.make_pipelined_fno_forward``
+    — GPipe microbatching, dp × pp). The gradient flows through the
+    whole pipeline (scan + ppermute are differentiable), so updates
+    equal the single-device ones exactly (tests/test_parallel.py).
+    ``params`` stay in the standard flax tree — the same checkpoints
+    drive pp and non-pp runs. FNO only (the only benchmark model deep
+    enough to stage); mixed precision follows ``task.compute_dtype``.
+    """
+    from ..models.fno import Fno2d
+    from ..parallel.pipeline import make_pipelined_fno_forward
+
+    assert isinstance(task.model, Fno2d), (
+        "--pp_microbatches supports --model fno (the staged-depth "
+        f"model); got {type(task.model).__name__}"
+    )
+    fwd = make_pipelined_fno_forward(task.model, mesh, n_micro=n_micro)
+
+    def train_step(state: TrainState, batch):
+        def lf(params):
+            b = batch
+            if task.compute_dtype is not None:
+                params = task._cast(params)
+                b = dict(
+                    b,
+                    inputs=task._cast(b["inputs"]),
+                    case_params=task._cast(b["case_params"]),
+                    mask=task._cast(b["mask"]),
+                )
+            preds = fwd(
+                params, b["inputs"], b["case_params"], b["mask"]
+            ).astype(jnp.float32)
+            labels = batch["labels"] * batch["mask"]
+            scores = task.loss_fn(
+                preds, labels, sample_weights=batch.get("weights")
+            )
+            return scores[task.loss_fn.objective], scores
+
+        grads, scores = jax.grad(lf, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params, state.model_state, opt_state, state.step + 1
+            ),
+            scores,
+        )
+
+    return jax.jit(train_step, donate_argnums=0)
+
+
 def make_eval_step(task: AutoTask, with_preds: bool = True):
     """``with_preds=False`` skips the frame prediction (expensive for
     diffusion tasks, whose predict_frame is a full DDPM sampling loop;
@@ -422,6 +479,7 @@ def train(
     plot_examples: bool = False,
     resume: bool = False,
     spatial: bool = False,
+    pp_microbatches: int = 0,
 ) -> TrainState:
     """``resume=True`` continues from ``output_dir/training_state``
     (params / BN stats / optimizer moments / step + epoch) when
@@ -448,12 +506,24 @@ def train(
     params, model_state = task.init_variables(
         jax.random.PRNGKey(seed), sample
     )
+    use_pp = bool(
+        pp_microbatches
+        and mesh is not None
+        and mesh.shape.get("model", 1) > 1
+    )
     if mesh is not None:
-        # TP: large weight matrices sharded over the model axis (no-op
-        # on a 1-wide model axis); optimizer state inherits shardings.
-        from ..parallel.sharding_rules import shard_params
+        if use_pp:
+            # pp: the pipelined forward shard_maps the standard param
+            # tree itself (stage params sliced over the model axis per
+            # step); keep the stored params replicated.
+            params = jax.device_put(params, replicated_sharding(mesh))
+        else:
+            # TP: large weight matrices sharded over the model axis
+            # (no-op on a 1-wide model axis); optimizer state inherits
+            # shardings.
+            from ..parallel.sharding_rules import shard_params
 
-        params = shard_params(params, mesh)
+            params = shard_params(params, mesh)
         model_state = jax.device_put(
             model_state, replicated_sharding(mesh)
         )
@@ -491,7 +561,16 @@ def train(
     else:
         global_step_resumed = 0
 
-    train_step = make_train_step(task, tx, seed=seed)
+    if use_pp:
+        print(
+            f"pp: {mesh.shape['model']} stages x "
+            f"{pp_microbatches} microbatches (+{mesh.shape['data']}-way dp)"
+        )
+        train_step = make_pp_train_step(
+            task, tx, mesh, n_micro=pp_microbatches
+        )
+    else:
+        train_step = make_train_step(task, tx, seed=seed)
     if getattr(task, "generative", False):
         # Diffusion dev eval generates frames and scores them (masked
         # frame MSE/NMSE, reference evaluate_ldm) — cap the batches.

@@ -157,3 +157,25 @@ def test_train_nonauto_ffn_end_to_end(synth_root, out_root):
     assert (run / "ckpt-1" / "dev_loss.json").exists()
     scores = json.loads((run / "test" / "scores.json").read_text())
     assert "nmse" in scores["mean"]
+
+
+def test_train_auto_pp_cli(synth_root, out_root):
+    """--mesh_shape NxM --pp_microbatches K drives the pipeline-parallel
+    training step from the CLI (FNO staged over the model axis)."""
+    out = out_root / "pp"
+    main_auto([
+        "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--num_epochs", "2",
+        "--batch_size", "16", "--eval_batch_size", "16",
+        "--eval_interval", "2", "--log_interval", "100",
+        "--mode", "train", "--output_dir", str(out),
+        "--fno_depth", "2", "--fno_hidden_dim", "8",
+        "--fno_modes_x", "4", "--fno_modes_y", "4",
+        "--mesh_shape", "4x2", "--pp_microbatches", "2",
+    ])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
+        / "lr0.0001_d2_h8_m14_m24"
+    )
+    scores = json.loads((run / "ckpt-1" / "scores.json").read_text())
+    assert scores["dev_loss"] > 0

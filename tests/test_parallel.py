@@ -295,3 +295,66 @@ def test_pipeline_parallel_matches_single_device(rng):
                 np.asarray(a), np.asarray(b), atol=2e-5,
                 err_msg=f"grad {spec} micro={n_micro}",
             )
+
+
+def test_pp_train_step_matches_single_device(rng):
+    """The wired pp TRAINING step (make_pp_train_step — what
+    --pp_microbatches drives) must produce the same parameters as the
+    plain single-device train step after 2 Adam updates."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.training.optim import make_adam
+    from cfdbench_tpu.training.trainer_auto import (
+        AutoTask,
+        TrainState,
+        make_pp_train_step,
+        make_train_step,
+    )
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=4,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    task = AutoTask(model, loss_name_to_fn("nmse"))
+    B, H, W = 8, 16, 16
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32),
+        mask=jnp.ones((B, H, W, 1), jnp.float32),
+        case_params=jnp.asarray(rng.standard_normal((B, 5)), jnp.float32),
+        weights=jnp.ones((B,), jnp.float32),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), batch["inputs"], batch["case_params"],
+        batch["mask"],
+    )["params"]
+
+    def run(step_fn):
+        tx = make_adam(1e-3, steps_per_epoch=10)
+        st = TrainState(
+            jax.tree.map(jnp.copy, params), {}, tx.init(params),
+            jnp.zeros((), jnp.int32),
+        )
+        # build per-run tx inside step factory callers
+        for _ in range(2):
+            st, scores = step_fn(st, batch)
+        return st, scores
+
+    tx = make_adam(1e-3, steps_per_epoch=10)
+    ref_step = make_train_step(task, tx, seed=0)
+    st_ref, sc_ref = run(ref_step)
+
+    mesh = make_mesh("2x4")
+    pp_step = make_pp_train_step(task, tx, mesh, n_micro=2)
+    st_pp, sc_pp = run(pp_step)
+
+    np.testing.assert_allclose(
+        float(sc_pp["mse"]), float(sc_ref["mse"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(st_ref.params), jax.tree.leaves(st_pp.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        )
