@@ -346,7 +346,9 @@ def worker_train_gencast(batch=32, iters=8, mixed=False):
     params, _ = task.init_variables(jax.random.PRNGKey(0), b)
     tx = make_gencast_tx(1e-4, total_steps=1000, warmup_steps=10)
     opt_state = tx.init(params)
-    base_rng = jax.random.PRNGKey(7)
+    from cfdbench_tpu.utils.rng import fast_train_key
+
+    base_rng = fast_train_key(7)  # production trainer's RBG stream
 
     @jax.jit
     def step(params, opt_state, i, b):

@@ -37,6 +37,7 @@ from ..utils.artifacts import (
     plot_loss,
     plot_predictions,
 )
+from ..utils.rng import fast_train_key
 from ..utils.timing import force_completion
 from . import checkpoints
 
@@ -183,7 +184,10 @@ class AutoTask:
 def make_train_step(
     task: AutoTask, tx: optax.GradientTransformation, seed: int = 0
 ):
-    base_rng = jax.random.PRNGKey(seed)
+    # RBG-impl key: hardware-accelerated random bits for the dropout
+    # streams of the diffusion models (utils/rng.py); models without
+    # dropout never consume it.
+    base_rng = fast_train_key(seed)
 
     def train_step(state: TrainState, batch):
         rng = jax.random.fold_in(base_rng, state.step)

@@ -19,12 +19,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from functools import partial
 
 from ..data.pipeline import batches, device_prefetch, num_batches
 from ..data.wrapper import GenCastDataset
 from ..models.diffusion import GenCastCfdModel
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from ..utils.artifacts import dump_json
+from ..utils.rng import fast_train_key
 from . import checkpoints
 
 
@@ -153,9 +155,11 @@ def train_gencast(
         best_nmse = meta["best_nmse"]
         print(f"Resumed from epoch {meta['epoch']} (best {best_nmse:.4e})")
 
-    base_rng = jax.random.PRNGKey(seed + 4242)
+    # RBG key: threefry dropout-mask generation fused into the convs
+    # was ~23% of the step (profiled; utils/rng.py).
+    base_rng = fast_train_key(seed + 4242)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_step(state: GenCastState, batch):
         rng = jax.random.fold_in(base_rng, state.step)
 
