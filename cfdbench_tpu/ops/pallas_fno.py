@@ -27,6 +27,29 @@ as-is.
 
 See /opt/skills/guides/pallas_guide.md for the kernel-language rules
 used here (VMEM block specs, MXU ``preferred_element_type``, grids).
+
+FROZEN (round 3): no further Pallas work is planned on this backend.
+Decision record — every measured kernel lost to XLA, and round 3's
+profiling explains why structurally, not just empirically:
+  - head kernel in the rollout: 14.5k vs 61.2k frames/s (round 2,
+    stacked-output layout forces a 64×-padded T(8,128) buffer);
+  - head kernel standalone: 2.8 ms vs 0.57 ms XLA (4-D blocks with a
+    32-wide lane dim waste 3/4 of each VMEM tile);
+  - a redesigned 2-D row-tiled head (round 3): 1.07 ms vs 0.48 ms —
+    bisection showed the first (rows, 32)@(32, 128) dot per tile
+    dominating; the skinny-K dot + per-grid-step overhead exceed the
+    HBM traffic the fusion saves;
+  - the one remaining hypothesis, a VMEM-resident multi-step rollout
+    kernel, is already realized by XLA itself: xprof shows the b128
+    rollout's bypass/lift ops executing at 1.7-4.0 TB/s (operands
+    resident on-chip between fusions) — that discovery is what
+    explains the b512 throughput regression (BASELINE.md §b512). A
+    hand-written kernel could only relocate, not remove, that
+    residency, while limitations (2) and (3) above force per-(b, h)
+    scalar loops for the DFT matmuls.
+The kernels stay as a validated capability demonstration (interpret-
+mode parity tests keep passing) and as a starting point for a standard
+Mosaic toolchain without these restrictions.
 """
 
 from __future__ import annotations

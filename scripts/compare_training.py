@@ -197,28 +197,260 @@ def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
     )
 
 
+def train_reference_deeponet(root, epochs, lr, batch_size, seed=0):
+    """Non-auto regime: the reference's ``src/train.py`` loop —
+    DeepONet with 1000 random lattice samples per frame, dev eval by
+    full-lattice ``generate_one`` scored on the u channel
+    (``train.py:64-92, 147-245``)."""
+    sys.path.insert(0, str(REFERENCE_SRC))
+    import torch
+    from torch.utils.data import DataLoader
+
+    from dataset.cavity import get_cavity_datasets
+    from models.deeponet import DeepONet
+    from models.loss import MseLoss
+
+    train_data, dev_data, _ = get_cavity_datasets(
+        data_dir=root / "cavity", case_name="prop_bc_geo",
+        norm_props=True, norm_bc=True,
+    )
+
+    def collate(batch):
+        case_params, t, label = zip(*batch)
+        return dict(
+            case_params=torch.stack(case_params),
+            t=torch.stack(t),
+            label=torch.stack(label),
+        )
+
+    torch.manual_seed(seed)
+    model = DeepONet(
+        branch_dim=5, trunk_dim=3, loss_fn=MseLoss(True),
+        width=32, branch_depth=3, trunk_depth=3,
+    )
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
+    loader = DataLoader(
+        train_data, batch_size=batch_size, shuffle=True,
+        collate_fn=collate,
+    )
+    dev_loader = DataLoader(
+        dev_data, batch_size=batch_size, shuffle=False,
+        collate_fn=collate,
+    )
+    t0 = time.time()
+    for ep in range(epochs):
+        model.train()
+        for batch in loader:
+            out = model(
+                case_params=batch["case_params"], t=batch["t"],
+                label=batch["label"],
+            )
+            opt.zero_grad()
+            out["loss"]["nmse"].backward()
+            opt.step()
+        sched.step()
+    model.eval()
+    scores = []
+    with torch.no_grad():
+        for batch in dev_loader:
+            h, w = batch["label"].shape[-2:]
+            preds = model.generate_one(
+                case_params=batch["case_params"], t=batch["t"],
+                height=h, width=w,
+            )
+            loss = model.loss_fn(
+                labels=batch["label"][:, :1], preds=preds
+            )
+            scores.append(float(loss["nmse"]))
+    return dict(
+        dev_nmse=float(np.mean(scores)), train_s=time.time() - t0
+    )
+
+
+def train_ours_deeponet(root, epochs, lr, batch_size, out_dir, seed=0):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from cfdbench_tpu.data import get_dataset
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.nonauto import DeepONet
+    from cfdbench_tpu.training import trainer_nonauto
+
+    train_data, dev_data, _ = get_dataset(
+        "cavity_prop_bc_geo", root, norm_props=True, norm_bc=True,
+    )
+    model = DeepONet(
+        n_case_params=5, width=32, branch_depth=3, trunk_depth=3
+    )
+    task = trainer_nonauto.NonAutoTask(model, loss_name_to_fn("nmse"))
+    t0 = time.time()
+    state = trainer_nonauto.train(
+        task, train_data, dev_data, output_dir=out_dir,
+        num_epochs=epochs, lr=lr, batch_size=batch_size,
+        eval_interval=epochs, log_interval=10_000, seed=seed,
+    )
+    train_s = time.time() - t0
+    result = trainer_nonauto.evaluate(
+        task, state.params, dev_data, out_dir,
+        batch_size=batch_size, collect_preds=False,
+    )
+    return dict(
+        dev_nmse=result["scores"]["mean"]["nmse"], train_s=train_s
+    )
+
+
+def train_reference_auto_deeponet(root, epochs, lr, batch_size, seed=0):
+    """Auto point model through the reference's ``train_auto.py`` loop
+    (``src/models/auto_deeponet.py:76-147``)."""
+    sys.path.insert(0, str(REFERENCE_SRC))
+    import torch
+    from torch.utils.data import DataLoader
+
+    from dataset.cavity import get_cavity_auto_datasets
+    from models.auto_deeponet import AutoDeepONet
+    from models.loss import MseLoss
+
+    train_data, dev_data, _ = get_cavity_auto_datasets(
+        data_dir=root / "cavity", case_name="prop_bc_geo",
+        norm_props=True, norm_bc=True, delta_time=0.1,
+    )
+
+    def collate(batch):
+        inputs, labels, case_params = zip(*batch)
+        inputs = torch.stack(inputs)
+        labels = torch.stack(labels)
+        keys = [
+            k for k in case_params[0].keys()
+            if k not in ("rotated", "dx", "dy")
+        ]
+        cp = torch.tensor(
+            [[float(p[k]) for k in keys] for p in case_params]
+        )
+        return dict(
+            inputs=inputs[:, :-1], label=labels[:, :-1],
+            mask=inputs[:, -1:], case_params=cp,
+        )
+
+    torch.manual_seed(seed)
+    grid = 16
+    model = AutoDeepONet(
+        branch_dim=grid * grid + 5, trunk_dim=2,
+        loss_fn=MseLoss(True), width=32, branch_depth=3,
+        trunk_depth=3,
+    )
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
+    loader = DataLoader(
+        train_data, batch_size=batch_size, shuffle=True,
+        collate_fn=collate,
+    )
+    dev_loader = DataLoader(
+        dev_data, batch_size=batch_size, shuffle=False,
+        collate_fn=collate,
+    )
+    t0 = time.time()
+    for ep in range(epochs):
+        model.train()
+        for batch in loader:
+            out = model(
+                batch["inputs"], batch["case_params"],
+                label=batch["label"], mask=batch["mask"],
+            )
+            opt.zero_grad()
+            out["loss"]["nmse"].backward()
+            opt.step()
+        sched.step()
+    model.eval()
+    scores = []
+    with torch.no_grad():
+        for batch in dev_loader:
+            out = model(
+                batch["inputs"], batch["case_params"],
+                label=batch["label"], mask=batch["mask"],
+            )
+            scores.append(float(out["loss"]["nmse"]))
+    return dict(
+        dev_nmse=float(np.mean(scores)), train_s=time.time() - t0
+    )
+
+
+def train_ours_auto_deeponet(root, epochs, lr, batch_size, out_dir,
+                             seed=0):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from cfdbench_tpu.data import get_auto_dataset
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.point import AutoDeepONet
+    from cfdbench_tpu.training import trainer_auto
+
+    train_data, dev_data, _ = get_auto_dataset(
+        root, "cavity_prop_bc_geo", 0.1, True, True,
+        load_splits=["train", "dev"],
+    )
+    grid = train_data.field_shape[0]
+    model = AutoDeepONet(
+        branch_dim=grid * grid + 5, width=32, branch_depth=3,
+        trunk_depth=3,
+    )
+    task = trainer_auto.AutoTask(model, loss_name_to_fn("nmse"))
+    t0 = time.time()
+    state = trainer_auto.train(
+        task, train_data, dev_data, output_dir=out_dir,
+        num_epochs=epochs, lr=lr, batch_size=batch_size,
+        eval_batch_size=batch_size, eval_interval=epochs,
+        log_interval=10_000, seed=seed,
+    )
+    train_s = time.time() - t0
+    result = trainer_auto.evaluate(
+        task, state.params, dev_data, out_dir,
+        model_state=state.model_state, batch_size=batch_size,
+        collect_preds=False,
+    )
+    return dict(
+        dev_nmse=result["scores"]["mean"]["nmse"], train_s=train_s
+    )
+
+
+TRAINERS = {
+    "fno": (train_ours_fno, train_reference_fno),
+    "unet": (train_ours_fno, train_reference_fno),
+    "resnet": (train_ours_fno, train_reference_fno),
+    "deeponet": (train_ours_deeponet, train_reference_deeponet),
+    "auto_deeponet": (
+        train_ours_auto_deeponet, train_reference_auto_deeponet
+    ),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seeds", type=int, default=1)
-    ap.add_argument("--model", default="fno", choices=["fno", "unet", "resnet"])
+    ap.add_argument("--model", default="fno", choices=sorted(TRAINERS))
     args = ap.parse_args()
     root = make_tree()
+    ours_fn, ref_fn = TRAINERS[args.model]
     ours, ref = [], []
     for seed in range(args.seeds):
         out = Path(tempfile.mkdtemp()) / "ours"
+        kw = (
+            dict(model_name=args.model)
+            if args.model in ("fno", "unet", "resnet") else {}
+        )
         ours.append(
-            train_ours_fno(
+            ours_fn(
                 root, args.epochs, args.lr, args.batch_size, out,
-                seed=seed, model_name=args.model,
+                seed=seed, **kw,
             )
         )
         ref.append(
-            train_reference_fno(
+            ref_fn(
                 root, args.epochs, args.lr, args.batch_size,
-                seed=seed, model_name=args.model,
+                seed=seed, **kw,
             )
         )
 
