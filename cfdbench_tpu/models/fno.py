@@ -114,18 +114,36 @@ class Fno2d(nn.Module):
     @nn.compact
     def __call__(self, inputs, case_params, mask=None, train: bool = False):
         del train  # no BatchNorm/Dropout in FNO
-        B, H, W, _ = inputs.shape
+        B, H, W, C = inputs.shape
         mask = ensure_mask(mask, B, H, W)
-        x = jnp.concatenate(
-            [
-                inputs,
-                mask,
-                coord_channels(B, H, W, inputs.dtype),
-                broadcast_params_to_channels(case_params, H, W),
-            ],
-            axis=-1,
+        # fc0 lift (1x1 conv) over [inputs ‖ mask ‖ coords ‖ params],
+        # computed as summed partial matmuls on kernel row-slices
+        # instead of materializing the concatenated (B, H, W, C+3+P)
+        # tensor (whose backward is three splits). Identical math; the
+        # coord and case-param terms are broadcast, not full-field.
+        fc0 = Dense(self.hidden_dim)
+        coords = coord_channels(1, H, W, inputs.dtype)  # (1, H, W, 2)
+        _ = fc0(
+            jnp.concatenate(
+                [
+                    inputs[:1, :1, :1],
+                    mask[:1, :1, :1],
+                    coords[:, :1, :1],
+                    case_params[:1, None, None, :],
+                ],
+                axis=-1,
+            )
+        )  # instantiate params with the full fan-in (output unused)
+        k = fc0.variables["params"]["Dense_0"]["kernel"]
+        b = fc0.variables["params"]["Dense_0"]["bias"]
+        P = case_params.shape[-1]
+        x = (
+            inputs @ k[:C]
+            + mask @ k[C: C + 1]
+            + coords @ k[C + 1: C + 3]        # (1, H, W, hidden)
+            + (case_params @ k[C + 3: C + 3 + P])[:, None, None, :]
+            + b
         )
-        x = Dense(self.hidden_dim)(x)  # fc0 lift (1x1 conv)
         if self.padding is not None:
             p = self.padding
             x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
