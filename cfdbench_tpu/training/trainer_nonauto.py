@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ..data.datasets import FrameDataset
-from ..data.pipeline import batches, num_batches
+from ..data.pipeline import batches, device_prefetch, num_batches
 from ..metrics import LossFn
 from ..parallel.mesh import batch_sharding, replicated_sharding
 from ..utils.artifacts import dump_json, plot_loss
@@ -232,30 +232,42 @@ def train(
     all_train_losses = []
     objective = task.loss_fn.objective
 
+    sharding_fn = (
+        (lambda b: batch_sharding(mesh)) if mesh is not None else None
+    )
     for ep in range(num_epochs):
         ep_start = time.time()
-        ep_losses = []
+        # Device-side losses + prefetched batches: a float() here would
+        # sync the host every step (~28 ms on a tunneled backend).
+        ep_losses_dev = []
         rng = np.random.default_rng(seed * 999_983 + ep)
-        for batch in batches(
-            arrays, batch_size, shuffle=True, rng=rng,
-            pad_multiple=mesh.shape["data"] if mesh is not None else 1,
+        for batch in device_prefetch(
+            batches(
+                arrays, batch_size, shuffle=True, rng=rng,
+                pad_multiple=(
+                    mesh.shape["data"] if mesh is not None else 1
+                ),
+            ),
+            size=2,
+            sharding_fn=sharding_fn,
         ):
-            if mesh is not None:
-                batch = jax.device_put(batch, batch_sharding(mesh))
             state, scores = train_step(state, batch)
-            ep_losses.append(float(scores[objective]))
+            ep_losses_dev.append(scores[objective])
             global_step += 1
             if global_step % log_interval == 0 and not measure_time:
-                avg_loss = sum(ep_losses) / (len(ep_losses) + 1e-5)
                 print(
                     dict(
                         ep=ep,
                         step=global_step,
-                        loss=f"{avg_loss:.3e}",
+                        loss=f"{float(scores[objective]):.3e}",
                         lr=f"{lr_schedule(global_step - 1):.3e}",
                         time=round(time.time() - start_time),
                     )
                 )
+        ep_losses = (
+            np.asarray(jnp.stack(ep_losses_dev)).tolist()
+            if ep_losses_dev else []
+        )
         if measure_time:
             from ..utils.timing import force_completion
 

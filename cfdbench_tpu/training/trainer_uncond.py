@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.pipeline import batches
+from ..data.pipeline import batches, device_prefetch
 from ..models.punetg import PUNetGCFD
 from ..ops.diffusion import ddpm_sample, make_ddpm_scheduler
 from ..parallel.mesh import batch_sharding
@@ -104,16 +104,24 @@ def train_uncond_ddpm(
 
     losses = []
     start = time.time()
+    sharding_fn = (
+        (lambda b: batch_sharding(mesh)) if mesh is not None else None
+    )
     for ep in range(num_epochs):
         rng = np.random.default_rng(seed * 65537 + ep)
-        for batch in batches(
-            dict(x=frames), batch_size, shuffle=True, rng=rng,
-            pad_multiple=pad_mult,
+        ep_losses_dev = []
+        for batch in device_prefetch(
+            batches(
+                dict(x=frames), batch_size, shuffle=True, rng=rng,
+                pad_multiple=pad_mult,
+            ),
+            size=2,
+            sharding_fn=sharding_fn,
         ):
-            if mesh is not None:
-                batch = jax.device_put(batch, batch_sharding(mesh))
             state, loss = train_step(state, batch["x"], batch["weights"])
-            losses.append(float(loss))
+            ep_losses_dev.append(loss)
+        if ep_losses_dev:
+            losses += np.asarray(jnp.stack(ep_losses_dev)).tolist()
         print(
             f"ep {ep}: loss={np.mean(losses[-10:]):.5f} "
             f"time={time.time() - start:.0f}s"

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.pipeline import batches
+from ..data.pipeline import batches, device_prefetch
 from ..data.vae_data import VaeDataset
 from ..models.vae import AutoencoderKL
 from ..parallel.mesh import batch_sharding
@@ -145,17 +145,31 @@ def train_vae(
         else:
             w = kl_weight
         rng = np.random.default_rng(seed * 7919 + ep)
-        for batch in batches(
-            dict(frames=train_data.frames), batch_size, shuffle=True,
-            rng=rng, pad_multiple=pad_mult,
+        # Prefetched batches + device-side per-step losses (a float()
+        # here would host-sync every step); one transfer per epoch.
+        ep_losses_dev = []
+        for batch in device_prefetch(
+            batches(
+                dict(frames=train_data.frames), batch_size,
+                shuffle=True, rng=rng, pad_multiple=pad_mult,
+            ),
+            size=2,
+            sharding_fn=(
+                (lambda b: batch_sharding(mesh))
+                if mesh is not None else None
+            ),
         ):
-            batch = put(batch)
             state, losses = train_step(
                 state, batch["frames"], batch["weights"], w
             )
-            for k in ("total", "recon", "kl"):
-                history[f"train_{k}"].append(float(losses[k]))
+            ep_losses_dev.append(
+                jnp.stack([losses[k] for k in ("total", "recon", "kl")])
+            )
             global_step += 1
+        if ep_losses_dev:
+            ep_mat = np.asarray(jnp.stack(ep_losses_dev))
+            for j, k in enumerate(("total", "recon", "kl")):
+                history[f"train_{k}"] += ep_mat[:, j].tolist()
 
         # validation (mean latent)
         vals = {"total": [], "recon": [], "kl": []}

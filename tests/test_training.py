@@ -209,3 +209,29 @@ def test_device_prefetch_with_sharding_fn():
     assert len(out) == 2
     for b in out:
         assert not b["inputs"].sharding.is_fully_replicated
+
+
+def test_lite_checkpoint_mismatch_explained(tmp_path):
+    """Restoring a latent_diffusion_lite-era checkpoint (conv
+    cond_encoder tree) with the non-lite template must raise the
+    actionable pointer, not a raw orbax structure error."""
+    import pytest
+
+    lite_params = {
+        "params": {
+            "cond_encoder": {"Conv_0": {"kernel": np.ones((1, 1, 2, 4), np.float32)}},
+            "unet": {"Dense_0": {"kernel": np.ones((4, 4), np.float32)}},
+        }
+    }
+    checkpoints.save_params(lite_params, tmp_path / "ckpt-0")
+    nonlite_template = {
+        "params": {
+            "ctx_proj": {"kernel": np.zeros((8, 4), np.float32)},
+            "unet": {"Dense_0": {"kernel": np.zeros((4, 4), np.float32)}},
+        }
+    }
+    with pytest.raises(Exception) as ei:
+        checkpoints.load_params(nonlite_template, tmp_path / "ckpt-0")
+    assert "latent_diffusion_lite" in str(ei.value) or "cond_encoder" in str(
+        ei.value
+    )
