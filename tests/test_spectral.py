@@ -10,6 +10,7 @@ from cfdbench_tpu.ops.spectral import (
     spectral_conv2d_fft,
     spectral_conv2d_matmul,
     spectral_conv2d_matmul_packed,
+    spectral_conv2d_matmul_rsep,
     spectral_conv2d_matmul_wfirst,
 )
 
@@ -43,12 +44,14 @@ def test_matmul_equals_fft_and_reference(rng):
     y_mm = spectral_conv2d_matmul(x, w, m1, m2)
     y_pk = spectral_conv2d_matmul_packed(x, w, m1, m2)
     y_wf = spectral_conv2d_matmul_wfirst(x, w, m1, m2)
+    y_rs = spectral_conv2d_matmul_rsep(x, w, m1, m2)
     y_ref = _np_reference(x, np.asarray(w), m1, m2)
 
     np.testing.assert_allclose(np.asarray(y_fft), y_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_mm), y_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_pk), y_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_wf), y_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_rs), y_ref, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_fft), atol=2e-5
     )
@@ -63,6 +66,10 @@ def test_matmul_equals_fft_64x64_modes12(rng):
     y_mm = spectral_conv2d_matmul(x, w, 12, 12)
     y_pk = spectral_conv2d_matmul_packed(x, w, 12, 12)
     y_wf = spectral_conv2d_matmul_wfirst(x, w, 12, 12)
+    y_rs = spectral_conv2d_matmul_rsep(x, w, 12, 12)
+    np.testing.assert_allclose(
+        np.asarray(y_rs), np.asarray(y_fft), atol=5e-5
+    )
     np.testing.assert_allclose(
         np.asarray(y_mm), np.asarray(y_fft), atol=5e-5
     )
@@ -83,8 +90,12 @@ def test_wfirst_nonsquare_and_clamped_modes(rng):
         w = init_spectral_weights(jax.random.PRNGKey(4), 3, 5, eff1, eff2)
         y_fft = spectral_conv2d_fft(x, w, m1, m2)
         y_wf = spectral_conv2d_matmul_wfirst(x, w, m1, m2)
+        y_rs = spectral_conv2d_matmul_rsep(x, w, m1, m2)
         np.testing.assert_allclose(
             np.asarray(y_wf), np.asarray(y_fft), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_rs), np.asarray(y_fft), atol=2e-5
         )
 
 
@@ -109,6 +120,33 @@ def test_gradients_match(rng):
     )
     np.testing.assert_allclose(
         np.asarray(g_wf), np.asarray(g_fft), atol=2e-4
+    )
+    g_rs = jax.grad(
+        lambda w: spectral_conv2d_matmul_rsep(x, w, 4, 4).sum()
+    )(w)
+    np.testing.assert_allclose(
+        np.asarray(g_rs), np.asarray(g_fft), atol=2e-4
+    )
+
+
+def test_rsep_wide_width_per_corner_path(rng):
+    """Cin >= 128 takes the per-corner raw-slice mixing branch (no
+    packed weight-block construction); numerics must match the FFT
+    backend, forward and gradient."""
+    B, H, W, C, m = 2, 16, 16, 128, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    w = init_spectral_weights(jax.random.PRNGKey(5), C, C, m, m)
+    y_fft = spectral_conv2d_fft(x, w, m, m)
+    y_rs = spectral_conv2d_matmul_rsep(x, w, m, m)
+    np.testing.assert_allclose(
+        np.asarray(y_rs), np.asarray(y_fft), atol=2e-4
+    )
+    g_fft = jax.grad(lambda w: spectral_conv2d_fft(x, w, m, m).sum())(w)
+    g_rs = jax.grad(
+        lambda w: spectral_conv2d_matmul_rsep(x, w, m, m).sum()
+    )(w)
+    np.testing.assert_allclose(
+        np.asarray(g_rs), np.asarray(g_fft), atol=2e-3
     )
 
 
