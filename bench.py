@@ -703,6 +703,23 @@ def main():
         details["deeponet_train_b64"] = {
             k: round(v, 2) for k, v in na.items()
         }
+    # End-to-end trainer-loop throughput at small batch: async
+    # double-buffered feed + device-side losses vs the synchronous
+    # reference-style structure (per-batch .cuda() + loss.item()).
+    loop_async = run_worker_subprocess(
+        dict(kind="train_loop", batch=16, prefetch=2, lazy_scores=True)
+    )
+    loop_sync = run_worker_subprocess(
+        dict(kind="train_loop", batch=16, prefetch=0, lazy_scores=False)
+    )
+    if loop_async and loop_sync:
+        details["trainer_loop_b16"] = dict(
+            async_ms_per_step=round(loop_async["ms_per_step"], 2),
+            sync_ms_per_step=round(loop_sync["ms_per_step"], 2),
+            speedup=round(
+                loop_sync["ms_per_step"] / loop_async["ms_per_step"], 2
+            ),
+        )
     # Pallas head (XLA-vs-Pallas head timing): only batch_tile=1
     # compiles on this backend (tiles ≥2 exceed the 16M scoped-vmem
     # stack limit); measured 2026-08-16: pallas 14.5k vs xla 61.2k f/s
