@@ -483,17 +483,22 @@ def spectral_conv2d_matmul_rsep(
     return y.astype(out_dtype)
 
 
-# Default backend: "matmul_rsep" (separate re/im axis + MXU mode
-# grouping) — measured fastest for training at both narrow and wide
-# widths on v5e (equal to wfirst at hidden 32, 1.22x at hidden 256
-# where wfirst's image-space repacks and packed-weight construction
-# dominate); "fft" is the semantic reference. All are numerically
-# equivalent (unit-tested against each other and torch).
-SPECTRAL_BACKEND = "matmul_rsep"
+# Default backend: "auto" picks per shape (static at trace time):
+# "matmul_rsep" (separate re/im axis + MXU mode grouping) from batch
+# ≥ 64 — measured fastest for training at both narrow and wide widths
+# on v5e (equal to wfirst at hidden 32, 1.22x at hidden 256 where
+# wfirst's image-space repacks and packed-weight construction
+# dominate) — and "matmul_wfirst" below it, where rsep's mode-space
+# transposes do not amortize (b16 rollout: 38.7k vs 31.5k frames/s).
+# "fft" is the semantic reference. All are numerically equivalent
+# (unit-tested against each other and torch).
+SPECTRAL_BACKEND = "auto"
 
 
 def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
     b = backend or SPECTRAL_BACKEND
+    if b == "auto":
+        b = "matmul_rsep" if x.shape[0] >= 64 else "matmul_wfirst"
     if b == "matmul_rsep":
         return spectral_conv2d_matmul_rsep(x, weights, modes1, modes2)
     if b == "matmul_wfirst":
