@@ -135,7 +135,15 @@ def worker_rollout(batch, steps=20, dtype="float32", model="fno"):
     )
     if dtype != "float32":
         dt = jnp.dtype(dtype)
-        params = jax.tree.map(lambda x: x.astype(dt), params)
+
+        def cast(x):
+            return (
+                x.astype(dt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+            )
+
+        params = jax.tree.map(cast, params)
+        mstate = jax.tree.map(cast, mstate)  # incl. BN running stats
         frame0, case_params, mask = (
             frame0.astype(dt), case_params.astype(dt), mask.astype(dt)
         )
@@ -279,8 +287,9 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=True,
             flops = float(cost["flops"])
     except Exception:
         pass
-    if not flops:
-        # fwd + ~2x for bwd
+    if not flops and model == "fno":
+        # fwd + ~2x for bwd (the analytic formula is FNO-specific;
+        # other models report no MFU when XLA cost analysis fails)
         flops = 3.0 * _analytic_fno_forward_flops(batch)
 
     def run(n):
@@ -295,13 +304,17 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=True,
     t_long = run(4 * iters)
     t_short = run(iters)
     sec_per_step = (t_long - t_short) / (3 * iters)
-    return dict(
+    out = dict(
         ms_per_step=1e3 * sec_per_step,
-        flops_per_step=flops,
-        achieved_tflops=flops / sec_per_step / 1e12,
-        mfu_pct=100.0 * flops / sec_per_step / PEAK_BF16_FLOPS,
         examples_per_sec=batch / sec_per_step,
     )
+    if flops:
+        out.update(
+            flops_per_step=flops,
+            achieved_tflops=flops / sec_per_step / 1e12,
+            mfu_pct=100.0 * flops / sec_per_step / PEAK_BF16_FLOPS,
+        )
+    return out
 
 
 def worker_train_gencast(batch=32, iters=8, mixed=False):

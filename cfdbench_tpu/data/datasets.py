@@ -258,15 +258,28 @@ def build_auto_dataset(
         f"delta_time {delta_time} < data delta {data_dt}"
     )
 
-    all_inputs, all_labels, all_masks = [], [], []
-    all_params, all_case_ids = [], []
-    all_features: List[np.ndarray] = []
-    params_list: List[Dict[str, float]] = []
-
     # Parallel native batch-reads of the cases' u/v files (no-op
     # without the compiled library; data/fast_io.py), chunked and
-    # overlapped: chunk k+1 reads while chunk k packs (_ChunkPrefetcher).
+    # overlapped: chunk k+1 reads while chunk k packs (_ChunkPrefetcher);
+    # the try/finally keeps the worker thread from outliving failures.
     prefetcher = _ChunkPrefetcher(case_dirs)
+    try:
+        return _build_auto_arrays(
+            problem, case_dirs, prefetcher, time_step_size,
+            stable_state_diff, norm_props, norm_bc,
+        )
+    finally:
+        prefetcher.close()
+
+
+def _build_auto_arrays(
+    problem, case_dirs, prefetcher, time_step_size,
+    stable_state_diff, norm_props, norm_bc,
+):
+    all_inputs, all_labels, all_masks = [], [], []
+    all_params, all_case_ids = [], []
+    all_features = []
+    params_list = []
     for case_id, case_dir in enumerate(case_dirs):
         prefetcher.ensure(case_id)
         case = load_case(problem, Path(case_dir))
@@ -297,7 +310,6 @@ def build_auto_dataset(
         all_params.append(np.broadcast_to(pvec, (n_pairs, pvec.size)))
         all_case_ids.append(np.full((n_pairs,), case_id, dtype=np.int32))
 
-    prefetcher.close()
     assert all_inputs, "no training pairs produced"
     return AutoDataset(
         inputs=np.concatenate(all_inputs).astype(np.float32),
@@ -337,20 +349,24 @@ def build_frame_dataset(
     frames, frame_t, params_rows, case_ids = [], [], [], []
     params_list: List[Dict[str, float]] = []
     prefetcher = _ChunkPrefetcher(case_dirs)
-    for case_id, case_dir in enumerate(case_dirs):
-        prefetcher.ensure(case_id)
-        case = load_case(problem, Path(case_dir))
-        normalize_case_params(problem, case.params, norm_props, norm_bc)
-        params_list.append(case.params)
-        pvec = np.asarray(
-            [case.params[k] for k in keys], dtype=np.float32
-        )
-        T = case.num_frames
-        frames.append(case.features)
-        frame_t.append(np.arange(T, dtype=np.float32))
-        params_rows.append(np.broadcast_to(pvec, (T, pvec.size)))
-        case_ids.append(np.full((T,), case_id, dtype=np.int32))
-    prefetcher.close()
+    try:
+        for case_id, case_dir in enumerate(case_dirs):
+            prefetcher.ensure(case_id)
+            case = load_case(problem, Path(case_dir))
+            normalize_case_params(
+                problem, case.params, norm_props, norm_bc
+            )
+            params_list.append(case.params)
+            pvec = np.asarray(
+                [case.params[k] for k in keys], dtype=np.float32
+            )
+            T = case.num_frames
+            frames.append(case.features)
+            frame_t.append(np.arange(T, dtype=np.float32))
+            params_rows.append(np.broadcast_to(pvec, (T, pvec.size)))
+            case_ids.append(np.full((T,), case_id, dtype=np.int32))
+    finally:
+        prefetcher.close()
     return FrameDataset(
         frames=np.concatenate(frames).astype(np.float32),
         frame_t=np.concatenate(frame_t),

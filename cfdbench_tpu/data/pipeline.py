@@ -6,8 +6,9 @@ The TPU-native replacement: datasets are packed host numpy arrays; each
 epoch is a shuffled index permutation sliced into *statically shaped*
 batches (the final partial batch is padded and carries 0/1 sample
 weights so jitted steps see one shape and metrics stay exact — see
-``cfdbench_tpu.metrics``). Device placement happens in the jitted step
-via sharding annotations, so host→device transfer overlaps with compute.
+``cfdbench_tpu.metrics``). Device placement is eager and ahead of
+consumption: ``device_prefetch`` keeps a small queue of batches whose
+``jax.device_put`` transfers run while the previous step computes.
 """
 
 from __future__ import annotations

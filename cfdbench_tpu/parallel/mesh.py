@@ -52,6 +52,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def default_sharding_fn(mesh, spatial: bool = False):
+    """Per-batch placement hook for
+    ``data.pipeline.device_prefetch``: ``None`` (default device) when
+    there is no mesh, else data-axis batch sharding — optionally the
+    spatial (data × model grid-row) variant."""
+    if mesh is None:
+        return None
+    if spatial:
+        return lambda b: batch_sharding_spatial(mesh, b)
+    return lambda b: batch_sharding(mesh)
+
+
 def shard_batch_spec(mesh: Mesh, batch: dict) -> dict:
     """Per-leaf NamedSharding pytree for a batch dict (all leaves have
     batch as the leading axis)."""

@@ -29,6 +29,7 @@ from ..metrics import LossFn
 from ..parallel.mesh import (
     batch_sharding,
     batch_sharding_spatial,
+    default_sharding_fn,
     replicated_sharding,
 )
 from ..utils.artifacts import (
@@ -603,14 +604,7 @@ def train(
     train_losses = []
     objective = task.loss_fn.objective
 
-    if mesh is not None:
-        def sharding_fn(b):
-            return (
-                batch_sharding_spatial(mesh, b)
-                if spatial else batch_sharding(mesh)
-            )
-    else:
-        sharding_fn = None
+    sharding_fn = default_sharding_fn(mesh, spatial=spatial)
 
     for ep in range(start_epoch, num_epochs):
         ep_start = time.time()
@@ -619,13 +613,17 @@ def train(
         # the dispatch pipeline); one stacked transfer per epoch.
         ep_losses_dev = []
         rng = np.random.default_rng(seed * 1_000_003 + ep)
+        # pp divides each data shard into n_micro microbatches, so
+        # padded batches must be divisible by data*n_micro (the 0/1
+        # sample weights keep metrics exact).
+        pad_mult = mesh.shape["data"] if mesh is not None else 1
+        if use_pp:
+            pad_mult *= pp_microbatches
         for step, batch in enumerate(
             device_prefetch(
                 batches(
                     arrays, batch_size, shuffle=True, rng=rng,
-                    pad_multiple=(
-                        mesh.shape["data"] if mesh is not None else 1
-                    ),
+                    pad_multiple=pad_mult,
                 ),
                 size=2,
                 sharding_fn=sharding_fn,

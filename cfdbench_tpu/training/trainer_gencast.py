@@ -24,7 +24,11 @@ from functools import partial
 from ..data.pipeline import batches, device_prefetch, num_batches
 from ..data.wrapper import GenCastDataset
 from ..models.diffusion import GenCastCfdModel
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    default_sharding_fn,
+    replicated_sharding,
+)
 from ..utils.artifacts import dump_json
 from ..utils.rng import fast_train_key
 from . import checkpoints
@@ -110,10 +114,7 @@ def train_gencast(
             return jax.device_put(batch, batch_sharding(mesh))
         return batch
 
-    # device_prefetch sharding hook: None -> default device placement.
-    put_sharding = (
-        (lambda b: batch_sharding(mesh)) if mesh is not None else None
-    )
+    put_sharding = default_sharding_fn(mesh)
 
     arrays = dataset_arrays(train_data)
     sample = {k: v[:2] for k, v in arrays.items()}

@@ -24,7 +24,11 @@ import optax
 from ..data.datasets import FrameDataset
 from ..data.pipeline import batches, device_prefetch, num_batches
 from ..metrics import LossFn
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    default_sharding_fn,
+    replicated_sharding,
+)
 from ..utils.artifacts import dump_json, plot_loss
 from . import checkpoints
 
@@ -232,9 +236,7 @@ def train(
     all_train_losses = []
     objective = task.loss_fn.objective
 
-    sharding_fn = (
-        (lambda b: batch_sharding(mesh)) if mesh is not None else None
-    )
+    sharding_fn = default_sharding_fn(mesh)
     for ep in range(num_epochs):
         ep_start = time.time()
         # Device-side losses + prefetched batches: a float() here would

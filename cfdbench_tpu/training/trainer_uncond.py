@@ -23,7 +23,7 @@ import optax
 from ..data.pipeline import batches, device_prefetch
 from ..models.punetg import PUNetGCFD
 from ..ops.diffusion import ddpm_sample, make_ddpm_scheduler
-from ..parallel.mesh import batch_sharding
+from ..parallel.mesh import batch_sharding, default_sharding_fn
 from ..utils.artifacts import dump_json
 from . import checkpoints
 
@@ -104,9 +104,7 @@ def train_uncond_ddpm(
 
     losses = []
     start = time.time()
-    sharding_fn = (
-        (lambda b: batch_sharding(mesh)) if mesh is not None else None
-    )
+    sharding_fn = default_sharding_fn(mesh)
     for ep in range(num_epochs):
         rng = np.random.default_rng(seed * 65537 + ep)
         ep_losses_dev = []

@@ -22,7 +22,7 @@ import optax
 from ..data.pipeline import batches, device_prefetch
 from ..data.vae_data import VaeDataset
 from ..models.vae import AutoencoderKL
-from ..parallel.mesh import batch_sharding
+from ..parallel.mesh import batch_sharding, default_sharding_fn
 from ..utils.artifacts import dump_json, plot_loss
 from . import checkpoints
 
@@ -154,10 +154,7 @@ def train_vae(
                 shuffle=True, rng=rng, pad_multiple=pad_mult,
             ),
             size=2,
-            sharding_fn=(
-                (lambda b: batch_sharding(mesh))
-                if mesh is not None else None
-            ),
+            sharding_fn=default_sharding_fn(mesh),
         ):
             state, losses = train_step(
                 state, batch["frames"], batch["weights"], w

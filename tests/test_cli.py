@@ -171,7 +171,10 @@ def test_train_auto_pp_cli(synth_root, out_root):
         "--mode", "train", "--output_dir", str(out),
         "--fno_depth", "2", "--fno_hidden_dim", "8",
         "--fno_modes_x", "4", "--fno_modes_y", "4",
-        "--mesh_shape", "4x2", "--pp_microbatches", "2",
+        # 3 microbatches: per-data-shard batches must be padded to
+        # data*n_micro (16/4 = 4 is not divisible by 3 — regression
+        # test for the pp pad_multiple fix)
+        "--mesh_shape", "4x2", "--pp_microbatches", "3",
     ])
     run = (
         out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
