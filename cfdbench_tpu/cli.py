@@ -300,6 +300,7 @@ def main_train(argv=None) -> None:
             seed=args.seed,
             mesh=mesh,
             measure_time=bool(args.measure_time),
+            resume=bool(args.resume),
         )
         if args.measure_time:
             return

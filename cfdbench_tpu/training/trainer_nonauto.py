@@ -199,7 +199,12 @@ def train(
     seed: int = 0,
     mesh=None,
     measure_time: bool = False,
+    resume: bool = False,
 ) -> TrainState:
+    """``resume=True`` continues from ``output_dir/training_state``
+    (params / optimizer moments / step + epoch) when present — same
+    full-state resume contract as the auto trainer (the reference's
+    main trainers can only restart from scratch, SURVEY.md §5)."""
     from .optim import make_adam
 
     output_dir = Path(output_dir)
@@ -219,6 +224,26 @@ def train(
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     if mesh is not None:
         state = jax.device_put(state, replicated_sharding(mesh))
+
+    start_epoch = 0
+    meta_path = output_dir / "training_meta.json"
+    resume_dir = output_dir / "training_state"
+    if resume and meta_path.exists() and resume_dir.exists():
+        from ..data.core import load_json
+
+        meta = load_json(meta_path)
+        restored = checkpoints.load_params(
+            jax.device_get(state), resume_dir
+        )
+        state = (
+            restored if isinstance(restored, TrainState)
+            else TrainState(*restored)
+        )
+        if mesh is not None:
+            state = jax.device_put(state, replicated_sharding(mesh))
+        start_epoch = meta["epoch"] + 1
+        print(f"Resumed from epoch {meta['epoch']}")
+
     train_step = make_train_step(task, tx, seed, (H, W))
     eval_step = make_eval_step(task, (H, W))
 
@@ -296,6 +321,15 @@ def train(
                 train_loss=float(np.mean(ep_losses)),
                 dev_loss=float(dev_scores["mean"][dev_key]),
                 time_s=time.time() - ep_start,
+            )
+            # Full-state snapshot for --resume (params + optimizer
+            # moments + step).
+            checkpoints.save_params(
+                jax.device_get(state), output_dir / "training_state"
+            )
+            dump_json(
+                dict(epoch=ep, global_step=global_step),
+                output_dir / "training_meta.json",
             )
         all_train_losses += ep_losses
     dump_json(all_train_losses, output_dir / "train_losses.json")

@@ -182,3 +182,28 @@ def test_train_auto_pp_cli(synth_root, out_root):
     )
     scores = json.loads((run / "ckpt-1" / "scores.json").read_text())
     assert scores["dev_loss"] > 0
+
+
+def test_train_nonauto_resume(synth_root, out_root):
+    """--resume continues the non-auto trainer from the saved full
+    state (params + optimizer + epoch) — same contract as the auto
+    trainer."""
+    out = out_root / "resume_nonauto"
+    common = [
+        "--model", "deeponet", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--batch_size", "32",
+        "--eval_interval", "2", "--log_interval", "1000",
+        "--mode", "train", "--output_dir", str(out),
+        "--deeponet_width", "16", "--branch_depth", "2",
+        "--trunk_depth", "2", "--mesh_shape", "1",
+    ]
+    main_train(common + ["--num_epochs", "2"])
+    runs = list(out.glob("non-auto/cavity_prop_bc_geo/dt*/deeponet/*"))
+    assert len(runs) == 1
+    run = runs[0]
+    meta = json.loads((run / "training_meta.json").read_text())
+    assert meta["epoch"] == 1
+    main_train(common + ["--num_epochs", "4", "--resume", "1"])
+    meta = json.loads((run / "training_meta.json").read_text())
+    assert meta["epoch"] == 3
+    assert (run / "ckpt-3" / "scores.json").exists()
