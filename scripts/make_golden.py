@@ -310,6 +310,74 @@ def grads_as_sd(model):
     return {k: p.grad for k, p in model.named_parameters()}
 
 
+def map_double_conv_grads(gd, key):
+    """map_double_conv for a grads-sd (parameters only — BN running
+    stats are buffers and carry no gradient)."""
+    return {
+        "Conv_0": conv(gd, f"{key}.conv1.0"),
+        "BatchNorm_0": {
+            "scale": t2n(gd[f"{key}.conv1.1.weight"]),
+            "bias": t2n(gd[f"{key}.conv1.1.bias"]),
+        },
+        "Conv_1": conv(gd, f"{key}.conv2.0"),
+        "BatchNorm_1": {
+            "scale": t2n(gd[f"{key}.conv2.1.weight"]),
+            "bias": t2n(gd[f"{key}.conv2.1.bias"]),
+        },
+    }
+
+
+def make_unet_grads(out_dir, insert_at="input"):
+    """Gradient parity for the UNet: d(nmse)/d(params) on the same
+    fixed batch/init as the forward fixture (eval-mode BatchNorm —
+    fresh running stats — so the linearization point is deterministic
+    on both sides). Loss = in-forward masked nmse
+    (``src/models/unet.py:210-218`` + ``loss.py:22-37``)."""
+    from models.loss import MseLoss
+    from models.unet import UNet
+
+    torch.manual_seed(11)
+    m = UNet(
+        in_chan=2, out_chan=2, loss_fn=MseLoss(True), n_case_params=P,
+        insert_case_params_at=insert_at, bilinear=False, dim=4,
+    ).eval()
+    rng = np.random.default_rng(43)
+    inputs, case_params, mask = fixed_inputs(rng)
+    label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+    out = m(
+        torch.tensor(inputs), torch.tensor(case_params),
+        mask=torch.tensor(mask), label=torch.tensor(label),
+    )
+    out["loss"]["nmse"].backward()
+    gd = grads_as_sd(m)
+    grads = {"DoubleConv_0": map_double_conv_grads(gd, "in_conv")}
+    for i in range(4):
+        grads[f"Down_{i}"] = {
+            "DoubleConv_0": map_double_conv_grads(
+                gd, f"down{i + 1}.maxpool_conv.1"
+            )
+        }
+    for i in range(4):
+        tw = t2n(gd[f"up{i + 1}.up.weight"])
+        grads[f"Up_{i}"] = {
+            "ConvTranspose_0": {
+                "kernel": np.ascontiguousarray(
+                    tw.transpose(2, 3, 0, 1)[::-1, ::-1]
+                ),
+                "bias": t2n(gd[f"up{i + 1}.up.bias"]),
+            },
+            "DoubleConv_0": map_double_conv_grads(gd, f"up{i + 1}.conv"),
+        }
+    grads["Conv_0"] = conv(gd, "out_conv.conv")
+    data = {}
+    flatten(grads, "G|", data)
+    data["label"] = label.transpose(0, 2, 3, 1)
+    data["loss_nmse"] = np.float32(out["loss"]["nmse"].item())
+    np.savez_compressed(Path(out_dir) / "unet_grads.npz", **data)
+    print("wrote unet_grads.npz "
+          f"(loss {float(out['loss']['nmse']):.5f})")
+
+
 def make_fno_grads(out_dir):
     """Gradient parity: d(nmse)/d(params) for the FNO on a fixed batch.
     The loss is the reference's in-forward masked nmse
@@ -764,6 +832,7 @@ def main():
     make_auto_edeeponet(args.out)
     make_auto_deeponet_cnn(args.out)
     make_fno_grads(args.out)
+    make_unet_grads(args.out)
     make_resnet_grads(args.out)
     make_fno_sgd_trajectory(args.out)
     make_fno_adam_trajectory(args.out)

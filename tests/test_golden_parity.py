@@ -220,16 +220,19 @@ def _load_grads(name):
 def _grad_check(model, case, grad_case, atol=3e-5):
     """loss value + d(nmse)/d(params) match the reference's autograd on
     a fixed batch — training-dynamics parity, one level deeper than
-    forward parity."""
+    forward parity. Models with BatchNorm are linearized in eval mode
+    (fresh running stats on both sides)."""
     from cfdbench_tpu.metrics import loss_name_to_fn
 
-    params, _, inputs, case_params, mask, _ = load_case(case)
+    params, stats, inputs, case_params, mask, _ = load_case(case)
     exp_grads, label, exp_loss = _load_grads(grad_case)
     loss_fn = loss_name_to_fn("nmse")
+    variables_extra = {"batch_stats": stats} if stats else {}
 
     def lf(p):
         preds = model.apply(
-            {"params": p}, inputs, case_params, mask, train=False
+            {"params": p, **variables_extra},
+            inputs, case_params, mask, train=False,
         )
         return loss_fn(preds, jnp.asarray(label) * jnp.asarray(mask))[
             "nmse"
@@ -256,6 +259,16 @@ def test_fno_grads_match_reference():
         modes1=4, modes2=4, hidden_dim=8,
     )
     _grad_check(model, "fno", "fno_grads")
+
+
+def test_unet_grads_match_reference():
+    from cfdbench_tpu.models.unet import UNet
+
+    model = UNet(
+        in_chan=2, out_chan=2, n_case_params=5,
+        insert_case_params_at="input", dim=4,
+    )
+    _grad_check(model, "unet_input", "unet_grads", atol=1e-4)
 
 
 def test_resnet_grads_match_reference():
