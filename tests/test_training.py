@@ -235,3 +235,50 @@ def test_lite_checkpoint_mismatch_explained(tmp_path):
     assert "latent_diffusion_lite" in str(ei.value) or "cond_encoder" in str(
         ei.value
     )
+
+
+def test_export_roundtrip(tmp_path, rng):
+    """jax.export serving artifacts: the deserialized single-step and
+    rollout programs must reproduce the live computation exactly, with
+    no model code involved on the load side."""
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.fno import Fno2d
+    from cfdbench_tpu.training.trainer_auto import AutoTask
+    from cfdbench_tpu.utils.export import (
+        export_predict,
+        export_rollout,
+        load_exported,
+    )
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    task = AutoTask(model, loss_name_to_fn("nmse"))
+    B, H, W = 4, 16, 16
+    frame = jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32)
+    cp = jnp.asarray(rng.standard_normal((B, 5)), jnp.float32)
+    mask = jnp.ones((B, H, W, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frame, cp, mask)["params"]
+
+    p1 = tmp_path / "predict.stablehlo"
+    n = export_predict(task, params, p1, B, H, W, 5)
+    assert n > 0 and p1.exists()
+    served = load_exported(p1)
+    np.testing.assert_allclose(
+        np.asarray(served(frame, cp, mask)),
+        np.asarray(task.predict_frame(params, frame, cp, mask)),
+        atol=1e-6,
+    )
+
+    p2 = tmp_path / "rollout.stablehlo"
+    export_rollout(task, params, p2, B, H, W, 5, steps=3)
+    from cfdbench_tpu.training.rollout import make_rollout_fn
+
+    ref = make_rollout_fn(task.predict_frame, steps=3)(
+        params, frame, cp, mask
+    )
+    got = load_exported(p2)(frame, cp, mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-6
+    )
