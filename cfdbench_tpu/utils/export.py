@@ -33,10 +33,15 @@ def _spec(shape):
 
 def export_predict(
     task, params, path: Path, batch: int, height: int, width: int,
-    n_case_params: int, model_state=None,
+    n_case_params: int, model_state=None, platforms=None,
 ) -> int:
     """Serialize ``predict_frame`` with the weights closed over.
-    Returns the artifact size in bytes."""
+    Returns the artifact size in bytes.
+
+    ``platforms``: lowering targets baked into the artifact (e.g.
+    ``("tpu", "cpu")``); defaults to the exporting process's backend —
+    artifacts are platform-specific, so export for every platform the
+    serving fleet runs on."""
 
     def f(frame, case_params, mask):
         return task.predict_frame(
@@ -44,7 +49,9 @@ def export_predict(
             model_state=model_state or {},
         )
 
-    exp = jax_export.export(jax.jit(f))(
+    exp = jax_export.export(
+        jax.jit(f), platforms=platforms
+    )(
         _spec((batch, height, width, task.feedback_channels)),
         _spec((batch, n_case_params)),
         _spec((batch, height, width, 1)),
@@ -58,6 +65,7 @@ def export_predict(
 def export_rollout(
     task, params, path: Path, batch: int, height: int, width: int,
     n_case_params: int, steps: int = 20, model_state=None,
+    platforms=None,
 ) -> int:
     """Serialize the full N-step rollout (scan inside the program).
     Returns the artifact size in bytes."""
@@ -73,7 +81,9 @@ def export_rollout(
     def f(frame0, case_params, mask):
         return rollout(params, frame0, case_params, mask)
 
-    exp = jax_export.export(jax.jit(f))(
+    exp = jax_export.export(
+        jax.jit(f), platforms=platforms
+    )(
         _spec((batch, height, width, task.feedback_channels)),
         _spec((batch, n_case_params)),
         _spec((batch, height, width, 1)),

@@ -62,13 +62,15 @@ def main(argv=None) -> None:
 
     serve = output_dir / "serve"
     B = args.batch_size
+    # Bake both TPU and CPU lowerings in so one artifact serves either.
+    plats = ("tpu", "cpu")
     n1 = export_predict(
         task, params, serve / "predict.stablehlo", B, H, W, P,
-        model_state=variables,
+        model_state=variables, platforms=plats,
     )
     n2 = export_rollout(
         task, params, serve / "rollout.stablehlo", B, H, W, P,
-        steps=20, model_state=variables,
+        steps=20, model_state=variables, platforms=plats,
     )
     print(f"wrote {serve}/predict.stablehlo ({n1} bytes)")
     print(f"wrote {serve}/rollout.stablehlo ({n2} bytes)")

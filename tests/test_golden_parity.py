@@ -188,7 +188,10 @@ def test_fno_spectral_backends_match_golden():
     params, _, inputs, case_params, mask, expected = load_case("fno")
     orig = spectral.SPECTRAL_BACKEND
     try:
-        for backend in ("matmul_packed", "matmul", "fft"):
+        for backend in (
+            "matmul_packed", "matmul", "fft", "matmul_wfirst",
+            "matmul_rsep",
+        ):
             spectral.SPECTRAL_BACKEND = backend
             out = model.apply(
                 {"params": params}, inputs, case_params, mask
