@@ -36,6 +36,10 @@ def _apply_runtime_flags(args: Args):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 0.0
         )
+    if args.spectral_backend != "auto":
+        from .ops import spectral
+
+        spectral.SPECTRAL_BACKEND = args.spectral_backend
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
         import atexit

@@ -169,6 +169,11 @@ class Args:
     for one chip's HBM. XLA inserts conv halo exchanges and einsum
     reductions automatically; numerics equal the unsharded run
     (tests/test_parallel.py)."""
+    spectral_backend: str = "auto"
+    """FNO spectral-conv implementation: "auto" (per-shape choice —
+    matmul_rsep from batch 64, matmul_wfirst below), or force one of
+    matmul_rsep | matmul_wfirst | matmul_packed | matmul | fft. All
+    numerically equivalent (ops/spectral.py)."""
     measure_time: int = 0
     plot_train_examples: int = 1
     """Write an ``example.png`` (input/label/pred) at each eval epoch
