@@ -694,11 +694,13 @@ def main():
             dict(kind="train", batch=128, model=m)
         )
         if t:
-            details[f"{m}_train_b128_mixed"] = dict(
+            row = dict(
                 ms_per_step=round(t["ms_per_step"], 3),
-                mfu_pct=round(t["mfu_pct"], 2),
                 examples_per_sec=round(t["examples_per_sec"], 1),
             )
+            if "mfu_pct" in t:  # absent when XLA cost analysis fails
+                row["mfu_pct"] = round(t["mfu_pct"], 2)
+            details[f"{m}_train_b128_mixed"] = row
         r = run_worker_subprocess(
             dict(kind="rollout", batch=128, model=m)
         )

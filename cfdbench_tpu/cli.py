@@ -39,6 +39,11 @@ def _apply_runtime_flags(args: Args):
     if args.spectral_backend != "auto":
         from .ops import spectral
 
+        if args.spectral_backend not in spectral.SPECTRAL_BACKENDS:
+            raise SystemExit(
+                f"--spectral_backend {args.spectral_backend!r}: choose "
+                f"from {spectral.SPECTRAL_BACKENDS}"
+            )
         spectral.SPECTRAL_BACKEND = args.spectral_backend
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)

@@ -495,6 +495,12 @@ def spectral_conv2d_matmul_rsep(
 SPECTRAL_BACKEND = "auto"
 
 
+SPECTRAL_BACKENDS = (
+    "auto", "matmul_rsep", "matmul_wfirst", "matmul_packed", "matmul",
+    "fft",
+)
+
+
 def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
     b = backend or SPECTRAL_BACKEND
     if b == "auto":
@@ -507,6 +513,11 @@ def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
         return spectral_conv2d_matmul_packed(x, weights, modes1, modes2)
     if b == "matmul":
         return spectral_conv2d_matmul(x, weights, modes1, modes2)
+    if b != "fft":
+        raise ValueError(
+            f"unknown spectral backend {b!r}; choose from "
+            f"{SPECTRAL_BACKENDS}"
+        )
     return spectral_conv2d_fft(x, weights, modes1, modes2)
 
 

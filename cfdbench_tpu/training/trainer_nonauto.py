@@ -257,12 +257,12 @@ def train(
     print(f"# epoch: {num_epochs}")
 
     start_time = time.time()
-    global_step = 0
+    global_step = start_epoch * steps_per_epoch
     all_train_losses = []
     objective = task.loss_fn.objective
 
     sharding_fn = default_sharding_fn(mesh)
-    for ep in range(num_epochs):
+    for ep in range(start_epoch, num_epochs):
         ep_start = time.time()
         # Device-side losses + prefetched batches: a float() here would
         # sync the host every step (~28 ms on a tunneled backend).

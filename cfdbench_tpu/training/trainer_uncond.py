@@ -23,7 +23,7 @@ import optax
 from ..data.pipeline import batches, device_prefetch
 from ..models.punetg import PUNetGCFD
 from ..ops.diffusion import ddpm_sample, make_ddpm_scheduler
-from ..parallel.mesh import batch_sharding, default_sharding_fn
+from ..parallel.mesh import default_sharding_fn
 from ..utils.artifacts import dump_json
 from . import checkpoints
 

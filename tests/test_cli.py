@@ -203,7 +203,13 @@ def test_train_nonauto_resume(synth_root, out_root):
     run = runs[0]
     meta = json.loads((run / "training_meta.json").read_text())
     assert meta["epoch"] == 1
+    mtime_before = (run / "ckpt-1" / "scores.json").stat().st_mtime
     main_train(common + ["--num_epochs", "4", "--resume", "1"])
     meta = json.loads((run / "training_meta.json").read_text())
     assert meta["epoch"] == 3
     assert (run / "ckpt-3" / "scores.json").exists()
+    # resume must start at epoch 2, not re-run epochs 0-1 (ckpt-1
+    # untouched by the resumed run)
+    assert (
+        (run / "ckpt-1" / "scores.json").stat().st_mtime == mtime_before
+    )
