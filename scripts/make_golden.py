@@ -739,6 +739,52 @@ def make_fno_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
     print(f"wrote fno_adam_trajectory.npz (losses={losses})")
 
 
+def make_unet_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
+    """Training-dynamics parity for the conv family: 5 Adam steps of
+    the UNet in TRAIN mode (BatchNorm normalizes with batch statistics;
+    running stats update but do not enter the loss) over two
+    alternating fixed batches. Records per-step losses + the batches
+    (flax momentum 0.9 == torch momentum 0.1; eps 1e-5 matched)."""
+    from models.loss import MseLoss
+    from models.unet import UNet
+
+    torch.manual_seed(11)
+    m = UNet(
+        in_chan=2, out_chan=2, loss_fn=MseLoss(True), n_case_params=P,
+        insert_case_params_at="input", bilinear=False, dim=4,
+    ).train()
+    rng = np.random.default_rng(45)
+    batches_ = []
+    for _ in range(2):
+        inputs, case_params, mask = fixed_inputs(rng)
+        label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+        batches_.append((inputs, case_params, mask, label))
+    opt = torch.optim.Adam(m.parameters(), lr=lr)
+    losses = []
+    for step in range(n_steps):
+        inputs, case_params, mask, label = batches_[step % 2]
+        opt.zero_grad()
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask), label=torch.tensor(label),
+        )
+        loss = out["loss"]["nmse"]
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    data = {"losses": np.asarray(losses, np.float32),
+            "lr": np.float32(lr)}
+    for i, (inputs, case_params, mask, label) in enumerate(batches_):
+        data[f"b{i}_input"] = inputs.transpose(0, 2, 3, 1)
+        data[f"b{i}_case_params"] = case_params
+        data[f"b{i}_mask"] = mask[..., None]
+        data[f"b{i}_label"] = label.transpose(0, 2, 3, 1)
+    np.savez_compressed(
+        Path(out_dir) / "unet_adam_trajectory.npz", **data
+    )
+    print(f"wrote unet_adam_trajectory.npz (losses={losses})")
+
+
 def make_dataset_goldens(out_dir):
     """Loader parity: run the *reference's* dataset classes on the same
     deterministic synthetic case tree the test suite uses (identical
@@ -836,6 +882,7 @@ def main():
     make_resnet_grads(args.out)
     make_fno_sgd_trajectory(args.out)
     make_fno_adam_trajectory(args.out)
+    make_unet_adam_trajectory(args.out)
     make_dataset_goldens(args.out)
 
 

@@ -417,6 +417,59 @@ def test_fno_adam_trajectory_matches_reference():
         params = optax.apply_updates(params, updates)
 
 
+def test_unet_adam_trajectory_matches_reference():
+    """5 Adam steps of the UNet in TRAIN mode (BatchNorm batch-stat
+    normalization + running-stat updates) over two alternating fixed
+    batches: per-step losses must track the torch reference —
+    training-dynamics parity for the conv family."""
+    import optax
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.unet import UNet
+
+    model = UNet(
+        in_chan=2, out_chan=2, n_case_params=5,
+        insert_case_params_at="input", dim=4,
+    )
+    params, stats, _, _, _, _ = load_case("unet_input")
+    traj = dict(np.load(GOLDEN / "unet_adam_trajectory.npz"))
+    loss_fn = loss_name_to_fn("nmse")
+    tx = optax.adam(float(traj["lr"]))
+    opt_state = tx.init(params)
+
+    def lf(p, bs, b):
+        preds, new_vars = model.apply(
+            {"params": p, "batch_stats": bs},
+            traj[f"b{b}_input"], traj[f"b{b}_case_params"],
+            traj[f"b{b}_mask"], train=True, mutable=["batch_stats"],
+        )
+        loss = loss_fn(
+            preds,
+            jnp.asarray(traj[f"b{b}_label"])
+            * jnp.asarray(traj[f"b{b}_mask"]),
+        )["nmse"]
+        return loss, new_vars["batch_stats"]
+
+    for step, exp_loss in enumerate(traj["losses"]):
+        (loss, stats), grads = jax.value_and_grad(lf, has_aux=True)(
+            params, stats, step % 2
+        )
+        # Step 0 is pure forward parity (tight). Later steps diverge
+        # exponentially: BatchNorm's per-batch normalization amplifies
+        # f32 rounding differences through the Adam rsqrt each step
+        # (measured: 1e-7 -> 1e-6 -> 1e-4 -> 4e-3 -> 1.2e-2 relative)
+        # — trajectory *tracking*, not bitwise parity, is the contract
+        # for training dynamics (SURVEY.md §7 hard part e). A semantic
+        # error (wrong BN momentum/eps, wrong masking, wrong optimizer)
+        # shows up at steps 0-1 far above these bounds.
+        rtol = (1e-5, 1e-4, 1e-3, 1.5e-2, 4e-2)[step]
+        assert np.isclose(float(loss), exp_loss, rtol=rtol), (
+            step, float(loss), exp_loss
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+
 def test_golden_params_load_into_init_structure():
     """Converted trees are structurally identical to model.init's."""
     from cfdbench_tpu.models.fno import Fno2d
