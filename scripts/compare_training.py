@@ -197,17 +197,17 @@ def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
     )
 
 
-def train_reference_deeponet(root, epochs, lr, batch_size, seed=0):
+def train_reference_deeponet(root, epochs, lr, batch_size, seed=0,
+                             model_name="deeponet"):
     """Non-auto regime: the reference's ``src/train.py`` loop —
-    DeepONet with 1000 random lattice samples per frame, dev eval by
-    full-lattice ``generate_one`` scored on the u channel
+    DeepONet/FFN with 1000 random lattice samples per frame, dev eval
+    by full-lattice ``generate_one`` scored on the u channel
     (``train.py:64-92, 147-245``)."""
     sys.path.insert(0, str(REFERENCE_SRC))
     import torch
     from torch.utils.data import DataLoader
 
     from dataset.cavity import get_cavity_datasets
-    from models.deeponet import DeepONet
     from models.loss import MseLoss
 
     train_data, dev_data, _ = get_cavity_datasets(
@@ -224,10 +224,19 @@ def train_reference_deeponet(root, epochs, lr, batch_size, seed=0):
         )
 
     torch.manual_seed(seed)
-    model = DeepONet(
-        branch_dim=5, trunk_dim=3, loss_fn=MseLoss(True),
-        width=32, branch_depth=3, trunk_depth=3,
-    )
+    if model_name == "ffn":
+        from models.ffn import FfnModel
+
+        model = FfnModel(
+            widths=[5 + 3] + [32] * 3 + [1], loss_fn=MseLoss(True)
+        )
+    else:
+        from models.deeponet import DeepONet
+
+        model = DeepONet(
+            branch_dim=5, trunk_dim=3, loss_fn=MseLoss(True),
+            width=32, branch_depth=3, trunk_depth=3,
+        )
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
     loader = DataLoader(
@@ -268,21 +277,28 @@ def train_reference_deeponet(root, epochs, lr, batch_size, seed=0):
     )
 
 
-def train_ours_deeponet(root, epochs, lr, batch_size, out_dir, seed=0):
+def train_ours_deeponet(root, epochs, lr, batch_size, out_dir, seed=0,
+                        model_name="deeponet"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from cfdbench_tpu.data import get_dataset
     from cfdbench_tpu.metrics import loss_name_to_fn
-    from cfdbench_tpu.models.nonauto import DeepONet
     from cfdbench_tpu.training import trainer_nonauto
 
     train_data, dev_data, _ = get_dataset(
         "cavity_prop_bc_geo", root, norm_props=True, norm_bc=True,
     )
-    model = DeepONet(
-        n_case_params=5, width=32, branch_depth=3, trunk_depth=3
-    )
+    if model_name == "ffn":
+        from cfdbench_tpu.models.nonauto import FfnModel
+
+        model = FfnModel(n_case_params=5, width=32, depth=3)
+    else:
+        from cfdbench_tpu.models.nonauto import DeepONet
+
+        model = DeepONet(
+            n_case_params=5, width=32, branch_depth=3, trunk_depth=3
+        )
     task = trainer_nonauto.NonAutoTask(model, loss_name_to_fn("nmse"))
     t0 = time.time()
     state = trainer_nonauto.train(
@@ -418,6 +434,7 @@ TRAINERS = {
     "unet": (train_ours_fno, train_reference_fno),
     "resnet": (train_ours_fno, train_reference_fno),
     "deeponet": (train_ours_deeponet, train_reference_deeponet),
+    "ffn": (train_ours_deeponet, train_reference_deeponet),
     "auto_deeponet": (
         train_ours_auto_deeponet, train_reference_auto_deeponet
     ),
@@ -439,7 +456,8 @@ def main():
         out = Path(tempfile.mkdtemp()) / "ours"
         kw = (
             dict(model_name=args.model)
-            if args.model in ("fno", "unet", "resnet") else {}
+            if args.model in ("fno", "unet", "resnet", "ffn", "deeponet")
+            else {}
         )
         ours.append(
             ours_fn(
