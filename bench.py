@@ -28,10 +28,35 @@ timings must force completion via host transfers (fake
 block_until_ready) — see cfdbench_tpu/utils/timing.py. All timings use
 the slope method (t(4S) − t(S)) / 3S to cancel the fixed ~28 ms/sync
 tunnel round trip, which is a dev-harness artifact, not a TPU property.
+
+Robustness contract (round 4 — BENCH_r03.json was rc=124/parsed=null):
+
+- **Global wall-clock budget** (``CFDBENCH_BENCH_BUDGET_SEC``, default
+  600 s): when exceeded, remaining workers are skipped and the final
+  JSON line is printed with whatever was measured.
+- **Headline-first ordering**: rollout b128 → train b128 mixed →
+  bf16-storage b128 → everything else, so an early kill still captures
+  the numbers that matter.
+- **Per-worker timeout** (``CFDBENCH_BENCH_WORKER_TIMEOUT``, default
+  240 s) **with one retry** — a retry after a cold-compile timeout hits
+  the persistent XLA cache entries the first attempt already wrote.
+- **Partial streaming**: after every worker the full result snapshot is
+  written to ``bench_partial.json``, so even SIGKILL leaves a parseable
+  artifact on disk.
+- **SIGTERM/SIGINT handler**: prints the final JSON line from the
+  current snapshot before exiting — ``timeout(1)`` (the likely rc=124
+  source) sends SIGTERM first, so a driver-side kill now still yields
+  a parsed result.
+- **Worker heartbeats**: each subprocess logs ``[hb +Ns]`` stage marks
+  (devices up / compile start / compile done / timing) to stderr, which
+  is inherited — a wedge is attributable to compile vs tunnel from the
+  driver's stderr tail alone.
 """
 
 import functools
 import json
+import os
+import signal
 import subprocess
 import sys
 import time
@@ -49,6 +74,26 @@ PINNED_BASELINE_FPS = 887.0
 
 FLAGSHIP = dict(depth=4, hidden=32, modes=12, h=64, w=64)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
+
+# Global orchestrator budget + per-worker limits (see module docstring).
+BUDGET_SEC = float(os.environ.get("CFDBENCH_BENCH_BUDGET_SEC", "600"))
+WORKER_TIMEOUT_SEC = float(
+    os.environ.get("CFDBENCH_BENCH_WORKER_TIMEOUT", "240")
+)
+# Below this much remaining budget, don't even start a worker.
+MIN_WORKER_SEC = 35.0
+PARTIAL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_partial.json"
+)
+
+_T0 = time.time()
+
+
+def _hb(msg):
+    """Worker heartbeat → stderr (inherited by the orchestrator and the
+    driver): makes a wedge attributable to compile vs tunnel."""
+    print(f"[hb +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _make_model(model: str = "fno", hidden=None):
@@ -113,13 +158,44 @@ def _timed_scan(
         steps=steps,
     )
     sink = jax.jit(lambda *a: r(*a).sum())
+    _hb(f"compile start: rollout scan steps={steps}")
     float(sink(params, frame0, case_params, mask))  # warmup/compile
+    _hb(f"compile done: rollout scan steps={steps}; timing {iters} iters")
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         float(sink(params, frame0, case_params, mask))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def worker_ping():
+    """Tunnel liveness + latency probe: one trivial compile + a few
+    host syncs. Runs FIRST so a dead/cold tunnel is attributed here
+    (cheap, retried) instead of wedging the headline worker, and its
+    compile warms up the backend connection for the rest of the run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _hb("ping: querying devices")
+    dev = jax.devices()
+    _hb(f"ping: devices up: {dev}")
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((256, 256), jnp.float32)
+    _hb("ping: compile start")
+    float(f(x))
+    _hb("ping: compile done; measuring sync round trip")
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        float(f(x))
+        times.append(time.perf_counter() - t0)
+    return dict(
+        platform=dev[0].platform,
+        n_devices=len(dev),
+        sync_roundtrip_ms=round(1e3 * float(np.median(times)), 2),
+    )
 
 
 def worker_rollout(batch, steps=20, dtype="float32", model="fno"):
@@ -300,7 +376,9 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=True,
         float(scores["mse"])  # force completion (host transfer)
         return time.perf_counter() - t0
 
+    _hb("compile start: train step")
     run(2)  # warmup/compile
+    _hb(f"compile done: train step; timing {5 * iters} steps")
     t_long = run(4 * iters)
     t_short = run(iters)
     sec_per_step = (t_long - t_short) / (3 * iters)
@@ -398,7 +476,9 @@ def worker_train_gencast(batch=32, iters=8, mixed=False):
         float(scores["mse"])  # force completion
         return time.perf_counter() - t0
 
+    _hb("compile start: gencast train step")
     run(2)
+    _hb(f"compile done: gencast step; timing {5 * iters} steps")
     t_long = run(4 * iters)
     t_short = run(iters)
     sec = (t_long - t_short) / (3 * iters)
@@ -575,6 +655,7 @@ def worker_baseline(steps=20, n_cases=16):
 
 
 WORKERS = dict(
+    ping=worker_ping,
     rollout=worker_rollout,
     rollout_pallas=worker_rollout_pallas,
     train=worker_train_step,
@@ -609,22 +690,123 @@ def run_worker_inproc(spec):
     return WORKERS[kind](**kwargs)
 
 
-def run_worker_subprocess(spec, timeout=900):
-    """Each config in its own process: few compiles per process (the
-    tunneled backend wedges on compile-heavy processes)."""
-    print(f"[bench] {spec} ...", file=sys.stderr, flush=True)
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--worker", json.dumps(spec)],
-            capture_output=True, text=True, timeout=timeout,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        out = json.loads(line)
-        print(f"[bench]   -> {out}", file=sys.stderr, flush=True)
+class BenchRun:
+    """Budgeted, kill-tolerant orchestrator (module docstring §contract).
+
+    State accumulates into ``self.details``/``self.rollout``; after every
+    worker the snapshot streams to ``bench_partial.json``. SIGTERM/SIGINT
+    prints the final JSON line from the snapshot and exits 0.
+    """
+
+    def __init__(self, budget=BUDGET_SEC):
+        self.t_start = time.monotonic()
+        self.budget = budget
+        self.worker_timeout = WORKER_TIMEOUT_SEC
+        self.details = {}
+        self.rollout = {}
+        self.skipped = []
+        self.child = None
+        self.emitted = False
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, self._on_signal)
+
+    def elapsed(self):
+        return time.monotonic() - self.t_start
+
+    def remaining(self):
+        return self.budget - self.elapsed()
+
+    def _on_signal(self, signum, frame):
+        print(f"[bench] caught signal {signum}; emitting partial result",
+              file=sys.stderr, flush=True)
+        if self.child is not None:
+            try:
+                self.child.kill()
+            except Exception:
+                pass
+        self.details["interrupted_by_signal"] = signum
+        self.emit()
+        os._exit(0)
+
+    def run(self, spec, retry=True, timeout=None):
+        """Run one worker subprocess under the global budget; one retry
+        on failure (the retry hits the persistent-XLA-cache entries the
+        first attempt wrote before timing out)."""
+        if self.remaining() < MIN_WORKER_SEC:
+            self.skipped.append(spec)
+            print(f"[bench] SKIP (budget) {spec}", file=sys.stderr,
+                  flush=True)
+            return None
+        out = self._run_once(spec, timeout)
+        if out is None and retry and self.remaining() > MIN_WORKER_SEC:
+            print("[bench]   retrying once", file=sys.stderr, flush=True)
+            out = self._run_once(spec, timeout)
+        self.write_partial()
         return out
-    except Exception as e:  # timeout, crash, parse failure
-        print(f"[bench]   -> FAILED: {e}", file=sys.stderr, flush=True)
-        return None
+
+    def _run_once(self, spec, timeout=None):
+        timeout = min(timeout or self.worker_timeout,
+                      max(20.0, self.remaining() - 15))
+        print(f"[bench] {spec} (timeout {timeout:.0f}s, "
+              f"budget left {self.remaining():.0f}s) ...",
+              file=sys.stderr, flush=True)
+        try:
+            # stderr inherited: worker [hb] lines stream to the driver.
+            self.child = subprocess.Popen(
+                [sys.executable, __file__, "--worker", json.dumps(spec)],
+                stdout=subprocess.PIPE, text=True,
+            )
+            try:
+                stdout, _ = self.child.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                self.child.kill()
+                self.child.communicate()
+                raise
+            finally:
+                self.child = None
+            line = stdout.strip().splitlines()[-1]
+            out = json.loads(line)
+            print(f"[bench]   -> {out}", file=sys.stderr, flush=True)
+            return out
+        except Exception as e:  # timeout, crash, parse failure
+            print(f"[bench]   -> FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return None
+
+    def snapshot(self):
+        details = dict(self.details)
+        details["baseline_fps_pinned"] = PINNED_BASELINE_FPS
+        details["peak_bf16_tflops"] = PEAK_BF16_FLOPS / 1e12
+        details["elapsed_sec"] = round(self.elapsed(), 1)
+        details["budget_sec"] = self.budget
+        if self.skipped:
+            details["skipped_for_budget"] = [
+                s.get("kind", "?") + ":" + json.dumps(s)
+                for s in self.skipped
+            ]
+        candidates = [v for v in self.rollout.values() if v]
+        headline = max(candidates) if candidates else 0.0
+        return dict(
+            metric="fno_rollout_frames_per_sec_per_chip",
+            value=round(headline, 2),
+            unit="frames/s",
+            vs_baseline=round(headline / PINNED_BASELINE_FPS, 2),
+            details=details,
+        )
+
+    def write_partial(self):
+        try:
+            with open(PARTIAL_PATH, "w") as f:
+                json.dump(self.snapshot(), f)
+        except OSError:
+            pass
+
+    def emit(self):
+        if self.emitted:
+            return
+        self.emitted = True
+        self.write_partial()
+        print(json.dumps(self.snapshot()), flush=True)
 
 
 def main():
@@ -634,35 +816,41 @@ def main():
         return
 
     if "--remeasure-baseline" in sys.argv:
-        out = run_worker_subprocess(dict(kind="baseline"))
+        br = BenchRun()
+        out = br.run(dict(kind="baseline"))
         print(json.dumps(dict(baseline=out)))
         return
 
-    details = {}
-    rollout = {}
-    for batch in (16, 128, 512):
-        out = run_worker_subprocess(dict(kind="rollout", batch=batch))
-        rollout[str(batch)] = (
-            round(out["frames_per_sec"], 1) if out else None
-        )
-    details["rollout_fps_bf16"] = rollout
-    f32 = run_worker_subprocess(
-        dict(kind="rollout", batch=128, precision="highest")
-    )
-    details["rollout_fps_f32_b128"] = (
-        round(f32["frames_per_sec"], 1) if f32 else None
-    )
-    bf16s = run_worker_subprocess(
-        dict(kind="rollout", batch=128, dtype="bfloat16")
-    )
-    details["rollout_fps_bf16_storage_b128"] = (
-        round(bf16s["frames_per_sec"], 1) if bf16s else None
-    )
+    br = BenchRun()
+    details = br.details
+
+    # 0. Tunnel liveness/latency probe — a dead or cold tunnel fails
+    # HERE (cheap + retried), not inside the headline worker. On slow
+    # days (observed: first EXECUTION after a warm compile can take
+    # minutes; the compile itself is cache-fast) the ping duration is
+    # used to stretch per-worker timeouts: fewer workers with room to
+    # finish beats many workers that all hit a too-short timeout.
+    t_ping = time.monotonic()
+    ping = br.run(dict(kind="ping"), timeout=330.0)
+    ping_sec = time.monotonic() - t_ping
+    if ping:
+        ping["ping_wall_sec"] = round(ping_sec, 1)
+        details["tunnel"] = ping
+    if ping_sec > 90:
+        br.worker_timeout = max(br.worker_timeout, min(420.0, br.budget / 2))
+        print(f"[bench] slow tunnel (ping {ping_sec:.0f}s): worker "
+              f"timeout -> {br.worker_timeout:.0f}s", file=sys.stderr,
+              flush=True)
+
+    # 1. HEADLINE first: rollout b128, then the flagship train step —
+    # an early driver kill still captures what matters most.
+    out = br.run(dict(kind="rollout", batch=128))
+    br.rollout["128"] = round(out["frames_per_sec"], 1) if out else None
+    details["rollout_fps_bf16"] = br.rollout
 
     # Flagship train step: MIXED precision is the optimized default
-    # (bf16 fwd/bwd, f32 master — what --use_mixed_precision drives);
-    # f32-storage and f32-matmul (highest) variants for reference.
-    train = run_worker_subprocess(dict(kind="train", batch=128))
+    # (bf16 fwd/bwd, f32 master — what --use_mixed_precision drives).
+    train = br.run(dict(kind="train", batch=128))
     if train:
         details["train_step_b128_mixed"] = dict(
             ms_per_step=round(train["ms_per_step"], 3),
@@ -671,15 +859,36 @@ def main():
             mfu_pct=round(train["mfu_pct"], 2),
             examples_per_sec=round(train["examples_per_sec"], 1),
         )
-    train_f32s = run_worker_subprocess(
-        dict(kind="train", batch=128, mixed=False)
+    bf16s = br.run(dict(kind="rollout", batch=128, dtype="bfloat16"))
+    details["rollout_fps_bf16_storage_b128"] = (
+        round(bf16s["frames_per_sec"], 1) if bf16s else None
     )
+
+    # 2. Rollout batch sweep + f32 reference point.
+    for batch in (16, 512):
+        out = br.run(dict(kind="rollout", batch=batch))
+        br.rollout[str(batch)] = (
+            round(out["frames_per_sec"], 1) if out else None
+        )
+    f32 = br.run(dict(kind="rollout", batch=128, precision="highest"))
+    details["rollout_fps_f32_b128"] = (
+        round(f32["frames_per_sec"], 1) if f32 else None
+    )
+
+    # 3. Train-step precision variants. ``train_step_b128`` is kept as a
+    # legacy alias of the f32-storage row (the pre-round-3 default
+    # semantics of that key) for historical comparability.
+    train_f32s = br.run(dict(kind="train", batch=128, mixed=False))
     if train_f32s:
         details["train_step_b128_f32_storage"] = dict(
             ms_per_step=round(train_f32s["ms_per_step"], 3),
             mfu_pct=round(train_f32s["mfu_pct"], 2),
         )
-    train_f32 = run_worker_subprocess(
+        details["train_step_b128"] = dict(
+            details["train_step_b128_f32_storage"],
+            legacy_alias_of="train_step_b128_f32_storage",
+        )
+    train_f32 = br.run(
         dict(kind="train", batch=128, mixed=False, precision="highest")
     )
     if train_f32:
@@ -690,9 +899,7 @@ def main():
     # Conv family (UNet / ResNet): train + rollout — the reference's
     # timing harness scope covers any --model (src/train_auto.py:124-130).
     for m in ("unet", "resnet"):
-        t = run_worker_subprocess(
-            dict(kind="train", batch=128, model=m)
-        )
+        t = br.run(dict(kind="train", batch=128, model=m))
         if t:
             row = dict(
                 ms_per_step=round(t["ms_per_step"], 3),
@@ -701,19 +908,17 @@ def main():
             if "mfu_pct" in t:  # absent when XLA cost analysis fails
                 row["mfu_pct"] = round(t["mfu_pct"], 2)
             details[f"{m}_train_b128_mixed"] = row
-        r = run_worker_subprocess(
-            dict(kind="rollout", batch=128, model=m)
-        )
+        r = br.run(dict(kind="rollout", batch=128, model=m))
         if r:
             details[f"{m}_rollout_fps_b128"] = round(
                 r["frames_per_sec"], 1
             )
-    gc = run_worker_subprocess(dict(kind="train_gencast", batch=32))
+    gc = br.run(dict(kind="train_gencast", batch=32))
     if gc:
         details["gencast_train_b32"] = {
             k: round(v, 2) for k, v in gc.items()
         }
-    na = run_worker_subprocess(dict(kind="train_nonauto", batch=64))
+    na = br.run(dict(kind="train_nonauto", batch=64))
     if na:
         details["deeponet_train_b64"] = {
             k: round(v, 2) for k, v in na.items()
@@ -721,10 +926,10 @@ def main():
     # End-to-end trainer-loop throughput at small batch: async
     # double-buffered feed + device-side losses vs the synchronous
     # reference-style structure (per-batch .cuda() + loss.item()).
-    loop_async = run_worker_subprocess(
+    loop_async = br.run(
         dict(kind="train_loop", batch=16, prefetch=2, lazy_scores=True)
     )
-    loop_sync = run_worker_subprocess(
+    loop_sync = br.run(
         dict(kind="train_loop", batch=16, prefetch=0, lazy_scores=False)
     )
     if loop_async and loop_sync:
@@ -739,29 +944,12 @@ def main():
     # compiles on this backend (tiles ≥2 exceed the 16M scoped-vmem
     # stack limit); measured 2026-08-16: pallas 14.5k vs xla 61.2k f/s
     # — XLA fusion wins, recorded in PARITY.md §perf.
-    out = run_worker_subprocess(
-        dict(kind="rollout_pallas", batch=128, batch_tile=1)
-    )
+    out = br.run(dict(kind="rollout_pallas", batch=128, batch_tile=1))
     details["head_xla_vs_pallas_b128"] = (
         {k: round(v, 1) for k, v in out.items()} if out else None
     )
 
-    details["baseline_fps_pinned"] = PINNED_BASELINE_FPS
-    details["peak_bf16_tflops"] = PEAK_BF16_FLOPS / 1e12
-
-    candidates = [v for v in rollout.values() if v]
-    headline = max(candidates) if candidates else 0.0
-    print(
-        json.dumps(
-            dict(
-                metric="fno_rollout_frames_per_sec_per_chip",
-                value=round(headline, 2),
-                unit="frames/s",
-                vs_baseline=round(headline / PINNED_BASELINE_FPS, 2),
-                details=details,
-            )
-        )
-    )
+    br.emit()
 
 
 if __name__ == "__main__":
