@@ -69,7 +69,13 @@ def dense_thin(x, kernel, bias):
     channels instead of a degenerate K=N matmul — profiled on v5e, the
     K=2 transpose dot ran at <500 GB/s effective and was the single
     most expensive op in the flagship train step (BASELINE.md
-    §anatomy)."""
+    §anatomy).
+
+    Reverse-mode only: as a ``jax.custom_vjp`` without a JVP rule,
+    forward-mode transforms (``jax.jvp``, ``jacfwd``, ``jax.hessian``)
+    of anything using it raise. Nothing in this repo uses forward mode;
+    if that changes, wrap with ``jax.custom_jvp`` fallbacks or call the
+    plain matmul on those paths."""
     return x @ kernel + bias
 
 

@@ -494,6 +494,13 @@ def spectral_conv2d_matmul_rsep(
 # (unit-tested against each other and torch).
 SPECTRAL_BACKEND = "auto"
 
+# The measured rsep/wfirst crossover is a PER-CHIP batch of 64. Under a
+# data-parallel mesh, the traced x.shape[0] is the GLOBAL batch, so the
+# auto rule divides by the data-axis size. ``parallel.mesh.make_mesh``
+# sets this when it builds a mesh; 1 = single chip.
+AUTO_DATA_SHARDS = 1
+AUTO_RSEP_MIN_BATCH = 64
+
 
 SPECTRAL_BACKENDS = (
     "auto", "matmul_rsep", "matmul_wfirst", "matmul_packed", "matmul",
@@ -504,7 +511,11 @@ SPECTRAL_BACKENDS = (
 def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
     b = backend or SPECTRAL_BACKEND
     if b == "auto":
-        b = "matmul_rsep" if x.shape[0] >= 64 else "matmul_wfirst"
+        per_chip = x.shape[0] // max(1, AUTO_DATA_SHARDS)
+        b = (
+            "matmul_rsep" if per_chip >= AUTO_RSEP_MIN_BATCH
+            else "matmul_wfirst"
+        )
     if b == "matmul_rsep":
         return spectral_conv2d_matmul_rsep(x, weights, modes1, modes2)
     if b == "matmul_wfirst":

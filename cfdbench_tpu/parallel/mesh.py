@@ -40,7 +40,14 @@ def make_mesh(
         d, m = int(spec), 1
     assert d * m <= n, f"mesh {d}x{m} needs {d * m} devices, have {n}"
     arr = np.array(devices[: d * m]).reshape(d, m)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    # The spectral "auto" backend's rsep/wfirst crossover is a per-chip
+    # batch threshold; tell it the data-axis size so a global-batch
+    # shape traced under this mesh is judged per shard.
+    from ..ops import spectral
+
+    spectral.AUTO_DATA_SHARDS = d
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

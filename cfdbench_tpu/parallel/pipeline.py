@@ -47,6 +47,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.common import (
     broadcast_params_to_channels,
     coord_channels,
+    dense_thin,
     ensure_mask,
     gelu_exact,
 )
@@ -128,7 +129,13 @@ def make_pipelined_fno_forward(
 
     def head(fc1, fc2, x, mask):
         h = gelu_exact(_dense(fc1, x))
-        return _dense(fc2, h) * mask
+        # dense_thin: same numerics as the plain matmul, but the
+        # backward avoids the degenerate K=out_chan transpose dot that
+        # models/common.py::dense_thin eliminated on the single-device
+        # path — pp targets exactly the large configs where that op
+        # was most expensive (BASELINE.md §anatomy).
+        inner = fc2["Dense_0"]
+        return dense_thin(h, inner["kernel"], inner["bias"]) * mask
 
     def shard_body(stages, lift_p, fc1_p, fc2_p, inputs, case_params, mask):
         """Runs per (data, model) shard. inputs: (B_local, H, W, Cin)."""
