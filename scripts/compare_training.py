@@ -29,18 +29,30 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 REFERENCE_SRC = Path("/root/reference/src")
 
 
-def make_tree():
+def make_tree(grid=16):
     sys.path.insert(0, str(REPO_ROOT))
     from cfdbench_tpu.data.synthetic import generate_all
 
     root = Path(tempfile.mkdtemp()) / "synth"
-    # Same parameters as the test suite's fixture; 16x16 grid keeps the
-    # torch-CPU side fast while exercising every code path.
-    generate_all(root, cases_per_subset=5, num_frames=12, grid=16, seed=0)
+    # Same parameters as the test suite's fixture; the default 16x16
+    # grid keeps the torch-CPU side fast while exercising every code
+    # path. --flagship raises this to the benchmark's 64x64.
+    generate_all(root, cases_per_subset=5, num_frames=12, grid=grid,
+                 seed=0)
     return root
 
 
-def _make_reference_model(name, seed):
+# Model-size presets: "small" is the fast test-tier shape; "flagship"
+# is the benchmark shape (FNO d4 h32 m12 on 64x64 — src/args.py
+# defaults), for ruling out scale-dependent divergence that the small
+# comparisons cannot see (BN stats, mode count, schedule length).
+FNO_SCALES = dict(
+    small=dict(num_layers=2, modes1=4, modes2=4, hidden_dim=8),
+    flagship=dict(num_layers=4, modes1=12, modes2=12, hidden_dim=32),
+)
+
+
+def _make_reference_model(name, seed, scale="small"):
     import torch
 
     from models.loss import MseLoss
@@ -51,8 +63,7 @@ def _make_reference_model(name, seed):
 
         return Fno2d(
             in_chan=2, out_chan=2, n_case_params=5,
-            loss_fn=MseLoss(True), num_layers=2, modes1=4, modes2=4,
-            hidden_dim=8,
+            loss_fn=MseLoss(True), **FNO_SCALES[scale],
         )
     if name == "unet":
         from models.unet import UNet
@@ -73,13 +84,12 @@ def _make_reference_model(name, seed):
     raise ValueError(name)
 
 
-def _make_our_model(name):
+def _make_our_model(name, scale="small"):
     if name == "fno":
         from cfdbench_tpu.models.fno import Fno2d
 
         return Fno2d(
-            in_chan=2, out_chan=2, n_case_params=5, num_layers=2,
-            modes1=4, modes2=4, hidden_dim=8,
+            in_chan=2, out_chan=2, n_case_params=5, **FNO_SCALES[scale],
         )
     if name == "unet":
         from cfdbench_tpu.models.unet import UNet
@@ -99,7 +109,7 @@ def _make_our_model(name):
 
 
 def train_reference_fno(root, epochs, lr, batch_size, seed=0,
-                        model_name="fno"):
+                        model_name="fno", scale="small"):
     sys.path.insert(0, str(REFERENCE_SRC))
     import torch
     from torch.utils.data import DataLoader
@@ -127,7 +137,7 @@ def train_reference_fno(root, epochs, lr, batch_size, seed=0,
             mask=inputs[:, -1:], case_params=cp,
         )
 
-    model = _make_reference_model(model_name, seed)
+    model = _make_reference_model(model_name, seed, scale)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
     loader = DataLoader(
@@ -165,7 +175,7 @@ def train_reference_fno(root, epochs, lr, batch_size, seed=0,
 
 
 def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
-                   model_name="fno"):
+                   model_name="fno", scale="small"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -177,7 +187,7 @@ def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
         root, "cavity_prop_bc_geo", 0.1, True, True,
         load_splits=["train", "dev"],
     )
-    model = _make_our_model(model_name)
+    model = _make_our_model(model_name, scale)
     task = trainer_auto.AutoTask(model, loss_name_to_fn("nmse"))
     t0 = time.time()
     state = trainer_auto.train(
@@ -448,8 +458,18 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--model", default="fno", choices=sorted(TRAINERS))
+    ap.add_argument("--grid", type=int, default=16)
+    ap.add_argument(
+        "--flagship", action="store_true",
+        help="FNO at the benchmark shape (d4 h32 m12) on a 64x64 "
+        "synthetic tree — rules out scale-dependent divergence "
+        "(fno only; pick --epochs/--seeds small, torch-CPU is slow)",
+    )
     args = ap.parse_args()
-    root = make_tree()
+    if args.flagship:
+        assert args.model == "fno", "--flagship is the FNO benchmark shape"
+        args.grid = 64
+    root = make_tree(args.grid)
     ours_fn, ref_fn = TRAINERS[args.model]
     ours, ref = [], []
     for seed in range(args.seeds):
@@ -459,6 +479,8 @@ def main():
             if args.model in ("fno", "unet", "resnet", "ffn", "deeponet")
             else {}
         )
+        if args.flagship:
+            kw["scale"] = "flagship"
         ours.append(
             ours_fn(
                 root, args.epochs, args.lr, args.batch_size, out,
@@ -482,7 +504,8 @@ def main():
         )
 
     print(json.dumps(dict(
-        config=dict(model=args.model, grid=16,
+        config=dict(model=args.model, grid=args.grid,
+                    scale="flagship" if args.flagship else "small",
                     epochs=args.epochs, lr=args.lr,
                     batch_size=args.batch_size, seeds=args.seeds,
                     data="synthetic cavity_prop_bc_geo (15 cases)"),

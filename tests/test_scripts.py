@@ -1,0 +1,97 @@
+"""Smoke tests for the post-hoc analysis scripts (SURVEY.md §2.6 L4
+tooling) on the synthetic case tree — the reference ships these as
+manual, path-hardcoded scripts with no tests (SURVEY.md §4); here each
+runs end-to-end in the fast tier.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+def run_script(args, **kw):
+    return subprocess.run(
+        [sys.executable, *args], capture_output=True, text=True,
+        cwd=REPO, timeout=300, **kw,
+    )
+
+
+def test_analyze_cylinder_position(synth_root, tmp_path):
+    case = sorted((synth_root / "cylinder" / "geo").glob("case*"))[0]
+    p = run_script(
+        ["scripts/analyze_cylinder_position.py", str(case),
+         "--out_dir", str(tmp_path)]
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["specified"]["radius"] is not None
+    assert "interior_min" in out and "nan_inf" in out
+    assert Path(out["plot"]).exists()
+
+
+def test_find_cylinder_centers(synth_root):
+    p = run_script(
+        ["scripts/find_cylinder_centers.py",
+         str(synth_root / "cylinder" / "geo"), "--max_cases", "3"]
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert len(out["cases"]) == 3
+    # cross-case pattern analysis present, with a recommendation per axis
+    assert set(out["pattern"]) == {"x", "y"}
+    for axis in ("x", "y"):
+        assert "rule" in out["pattern"][axis]
+        assert len(out["pattern"][axis]["offsets"]) == 3
+
+
+def test_locate_cylinder(synth_root):
+    case = sorted((synth_root / "cylinder" / "prop").glob("case*"))[0]
+    p = run_script(["scripts/locate_cylinder.py", str(case)])
+    assert p.returncode == 0, p.stderr
+    assert "analytic center" in p.stdout
+
+
+def test_vae_diagnostics_write(tmp_path):
+    """The full diagnostics battery (embedding, histograms, traversals,
+    reconstructions, interpolation, collapse JSON) on a tiny untrained
+    VAE — covers ``src/utils/vae.py``'s visualization surface."""
+    sys.path.insert(0, str(REPO))
+    from cfdbench_tpu.models.vae import make_cfd_vae
+    from scripts.vae_diagnostics import embed_2d, write_diagnostics
+
+    vae = make_cfd_vae("lite", 2, 2, 4)
+    frames = np.random.default_rng(0).standard_normal(
+        (6, 64, 64, 2)
+    ).astype(np.float32)
+    params = vae.init(
+        jax.random.PRNGKey(0), frames[:1], rng=None
+    )["params"]
+    summary = write_diagnostics(vae, params, frames, tmp_path)
+
+    assert len(summary["per_dim_kl"]) == 4
+    assert summary["embedding_method"] in ("tsne", "pca")
+    for name in (
+        "latent_embedding.png", "latent_histograms.png",
+        "latent_traversals.png", "reconstructions.png",
+        "latent_interpolation.png", "diagnostics.json",
+    ):
+        assert (tmp_path / name).exists(), name
+    reloaded = json.loads((tmp_path / "diagnostics.json").read_text())
+    assert reloaded["scaling_factor"] == pytest.approx(
+        summary["scaling_factor"]
+    )
+
+    # embed_2d alone on a tiny matrix (exercises the sklearn gate)
+    pts, method = embed_2d(
+        np.random.default_rng(1).standard_normal((8, 5)).astype(
+            np.float32
+        )
+    )
+    assert pts.shape == (8, 2)
