@@ -316,13 +316,15 @@ def _analytic_fno_forward_flops(batch):
 
 
 def worker_train_step(batch, iters=16, hidden=None, mixed=True,
-                      model="fno"):
+                      model="fno", opt_state="f32"):
     """``mixed=True`` (the optimized default since round 3) measures
     the true-mixed-precision step: bf16 params+activations in fwd/bwd,
     f32 master weights/optimizer/loss — the same path
     ``--use_mixed_precision`` drives in the trainers. ``mixed=False``
     measures the all-f32-storage step (matmuls are still bf16, XLA's
-    TPU default)."""
+    TPU default). ``opt_state``: "bf16"/"factored" measure the
+    reduced-optimizer-traffic Adam variants (training.optim) for the
+    hidden-256 MFU question (BASELINE.md §anatomy)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -348,7 +350,7 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=True,
         case_params=case_params,
         weights=jnp.ones((batch,), jnp.float32),
     )
-    tx = make_adam(1e-3, steps_per_epoch=100)
+    tx = make_adam(1e-3, steps_per_epoch=100, opt_state=opt_state)
     task_state = TrainState(
         params, mstate, tx.init(params), jnp.zeros((), jnp.int32)
     )

@@ -231,6 +231,7 @@ def main_auto(argv=None) -> None:
             resume=bool(args.resume),
             spatial=bool(args.shard_spatial),
             pp_microbatches=args.pp_microbatches,
+            opt_state=args.opt_state_dtype,
         )
         if args.measure_time:
             # measure_time is a micro-bench: print ms/step and stop

@@ -152,6 +152,12 @@ class Args:
     this flag; use --matmul_precision highest for f32 parity runs.)"""
     gradient_accumulation_steps: int = 1
     use_gradient_checkpointing: bool = False
+    opt_state_dtype: str = "f32"
+    """Adam moment-state storage for the auto trainer: "f32" (stock),
+    "bf16" (moments stored bf16, update math f32 —
+    training.optim.scale_by_adam_compact), or "factored" (adafactor).
+    For wide models whose step is optimizer-traffic-bound
+    (BASELINE.md §anatomy, hidden >= 256)."""
 
     # --- 7. TPU / parallelism (new; no reference equivalent) ---
     mesh_shape: str = "auto"  # "auto" | "N" | "NdxM" e.g. "4x2" (data x model)

@@ -485,6 +485,7 @@ def train(
     resume: bool = False,
     spatial: bool = False,
     pp_microbatches: int = 0,
+    opt_state: str = "f32",
 ) -> TrainState:
     """``resume=True`` continues from ``output_dir/training_state``
     (params / BN stats / optimizer moments / step + epoch) when
@@ -501,6 +502,7 @@ def train(
         gamma=lr_gamma,
         lr_step_size=lr_step_size,
         steps_per_epoch=steps_per_epoch,
+        opt_state=opt_state,
     )
     lr_schedule = lambda step: lr * lr_gamma ** (  # noqa: E731
         (step // steps_per_epoch) // lr_step_size

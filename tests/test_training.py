@@ -22,6 +22,51 @@ def test_step_lr_matches_steplr():
     assert got == expected
 
 
+def test_adam_opt_state_variants():
+    """The reduced-optimizer-traffic Adam variants (bf16 moment state,
+    adafactor) track stock Adam on a quadratic: same trajectory to
+    bf16 rounding for "bf16", monotone descent for "factored"."""
+    import optax
+
+    from cfdbench_tpu.training.optim import make_adam
+
+    def losses(opt_state, n=30):
+        tx = make_adam(1e-1, steps_per_epoch=1000, opt_state=opt_state)
+        params = {"w": jnp.arange(1.0, 9.0).reshape(2, 4) / 3}
+        target = jnp.ones((2, 4))
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            def loss(p):
+                return jnp.sum((p["w"] - target) ** 2)
+
+            g = jax.grad(loss)(params)
+            updates, state2 = tx.update(g, state, params)
+            return optax.apply_updates(params, updates), state2, loss(
+                params
+            )
+
+        out = []
+        for _ in range(n):
+            params, state, lo = step(params, state)
+            out.append(float(lo))
+        return out
+
+    ref = losses("f32")
+    bf16 = losses("bf16")
+    fact = losses("factored")
+    np.testing.assert_allclose(bf16, ref, rtol=0.05)
+    assert fact[-1] < fact[0] * 0.2  # different optimizer, still descends
+    assert ref[-1] < ref[0] * 0.05
+
+    # bf16 variant actually stores moments in bf16
+    tx = make_adam(1e-1, opt_state="bf16")
+    st = tx.init({"w": jnp.ones((3,))})
+    assert st[0].mu["w"].dtype == jnp.bfloat16
+    assert st[0].nu["w"].dtype == jnp.bfloat16
+
+
 def test_best_ckpt_selection(tmp_path):
     for ep, dev_loss in [(1, 0.5), (3, 0.2), (5, 0.3)]:
         d = tmp_path / f"ckpt-{ep}"
