@@ -566,6 +566,7 @@ def main_vae(argv=None) -> None:
         early_stopping_delta=args.early_stopping_delta,
         seed=args.seed,
         mesh=_mesh(args),
+        resume=bool(args.resume),
     )
 
 

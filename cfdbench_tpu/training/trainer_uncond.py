@@ -47,7 +47,12 @@ def train_uncond_ddpm(
     sample_every: int = 10,
     seed: int = 0,
     mesh=None,
+    resume: bool = False,
 ) -> Any:
+    """``resume=True`` continues from ``output_dir/training_state``
+    (params + EMA shadow + optimizer + step); the reference's stock
+    diffusers example relies on accelerate's checkpointing, which its
+    CFDBench copy never wires up (``src/train_diffusers.py``)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     pad_mult = mesh.shape["data"] if mesh is not None else 1
@@ -104,8 +109,32 @@ def train_uncond_ddpm(
 
     losses = []
     start = time.time()
+    start_epoch = 0
+    meta_path = output_dir / "training_meta.json"
+    resume_dir = output_dir / "training_state"
+    if resume and meta_path.exists() and resume_dir.exists():
+        from ..data.core import load_json
+
+        meta = load_json(meta_path)
+        state_shardings = (
+            jax.tree.map(lambda x: x.sharding, state)
+            if mesh is not None else None
+        )
+        restored = checkpoints.load_params(
+            jax.device_get(state), resume_dir
+        )
+        state = (
+            restored if isinstance(restored, UncondState)
+            else UncondState(*restored)
+        )
+        if state_shardings is not None:
+            state = jax.device_put(state, state_shardings)
+        start_epoch = meta["epoch"] + 1
+        losses = meta["losses"]
+        print(f"Resumed from epoch {meta['epoch']}")
+
     sharding_fn = default_sharding_fn(mesh)
-    for ep in range(num_epochs):
+    for ep in range(start_epoch, num_epochs):
         rng = np.random.default_rng(seed * 65537 + ep)
         ep_losses_dev = []
         for batch in device_prefetch(
@@ -133,6 +162,9 @@ def train_uncond_ddpm(
                 {"params": jax.device_get(state.ema_params)},
                 output_dir / "ema_model",
             )
+        # Full-state snapshot for --resume (params + EMA + opt + step).
+        checkpoints.save_params(jax.device_get(state), resume_dir)
+        dump_json(dict(epoch=ep, losses=losses), meta_path)
     dump_json(losses, output_dir / "train_losses.json")
     checkpoints.save_params(
         {"params": jax.device_get(state.ema_params)},

@@ -96,7 +96,14 @@ def train_vae(
     early_stopping_delta: float = 1e-5,
     seed: int = 0,
     mesh=None,
+    resume: bool = False,
 ) -> Any:
+    """``resume=True`` continues from ``output_dir/training_state``
+    (params + optimizer incl. the plateau-reduced lr + step) and
+    ``training_meta.json`` (epoch, best-val, patience counters,
+    history). The reference's VAE loop restarts from scratch
+    (``src/train_vae.py``); resume here matches this repo's other
+    trainers."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     pad_mult = mesh.shape["data"] if mesh is not None else 1
@@ -138,8 +145,44 @@ def train_vae(
     cur_lr = lr
     start = time.time()
     global_step = 0
+    start_epoch = 0
 
-    for ep in range(num_epochs):
+    meta_path = output_dir / "training_meta.json"
+    resume_dir = output_dir / "training_state"
+    if resume and meta_path.exists() and resume_dir.exists():
+        from ..data.core import load_json
+
+        meta = load_json(meta_path)
+        state_shardings = (
+            jax.tree.map(lambda x: x.sharding, state)
+            if mesh is not None else None
+        )
+        restored = checkpoints.load_params(
+            jax.device_get(state), resume_dir
+        )
+        state = (
+            restored if isinstance(restored, VaeState)
+            else VaeState(*restored)
+        )
+        if state_shardings is not None:
+            state = jax.device_put(state, state_shardings)
+        start_epoch = meta["epoch"] + 1
+        best_val = meta["best_val"]
+        patience = meta["patience"]
+        plateau = meta["plateau"]
+        cur_lr = meta["cur_lr"]
+        global_step = meta["global_step"]
+        history = meta["history"]
+        if Path(weights_path).exists():
+            best_params = dict(
+                checkpoints.load_params(
+                    {"params": jax.device_get(state.params)},
+                    Path(weights_path),
+                )
+            )["params"]
+        print(f"Resumed from epoch {meta['epoch']}")
+
+    for ep in range(start_epoch, num_epochs):
         if kl_annealing_epochs > 0:
             w = kl_weight * min(1.0, (ep + 1) / kl_annealing_epochs)
         else:
@@ -208,9 +251,20 @@ def train_vae(
                 )
                 plateau = 0
                 print(f"  plateau: lr reduced to {cur_lr:.2e}")
-            if patience > early_stopping_patience:
-                print("Early stopping.")
-                break
+        # Full-state snapshot for --resume (params + opt incl. the
+        # plateau-reduced lr inside inject_hyperparams + step).
+        checkpoints.save_params(jax.device_get(state), resume_dir)
+        dump_json(
+            dict(
+                epoch=ep, best_val=float(best_val), patience=patience,
+                plateau=plateau, cur_lr=cur_lr,
+                global_step=global_step, history=history,
+            ),
+            meta_path,
+        )
+        if patience > early_stopping_patience:
+            print("Early stopping.")
+            break
 
     dump_json(history, output_dir / "loss_history.json")
     plot_loss(history["train_total"], output_dir / "train_loss.png")

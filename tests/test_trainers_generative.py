@@ -89,6 +89,28 @@ def test_vae_trainer_smoke(synth_root, tmp_path):
     assert (tmp_path / "vae_out" / "loss_history.json").exists()
     assert (tmp_path / "weights").exists()
 
+    # Full-state resume: epoch 2 continues from the snapshot (optimizer
+    # + patience counters restored; start_epoch advances past 1).
+    assert (tmp_path / "vae_out" / "training_state").exists()
+    import json
+
+    meta = json.loads(
+        (tmp_path / "vae_out" / "training_meta.json").read_text()
+    )
+    assert meta["epoch"] == 1
+    train_vae(
+        vae, vae_train, vae_dev,
+        output_dir=tmp_path / "vae_out",
+        weights_path=tmp_path / "weights",
+        num_epochs=3, lr=1e-3, batch_size=16,
+        kl_annealing_epochs=2, resume=True,
+    )
+    meta = json.loads(
+        (tmp_path / "vae_out" / "training_meta.json").read_text()
+    )
+    assert meta["epoch"] == 2  # exactly one more epoch ran
+    assert len(meta["history"]["val_total"]) == 3
+
 
 def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path):
     from cfdbench_tpu.data import get_auto_dataset
@@ -173,3 +195,21 @@ def test_uncond_ddpm_trainer_smoke(synth_root, tmp_path):
     ]
     assert max(diffs) > 0
     assert (tmp_path / "uncond" / "ema_model").exists()
+
+    # Full-state resume: continues at epoch 1 with params + EMA + opt.
+    import json
+
+    meta = json.loads(
+        (tmp_path / "uncond" / "training_meta.json").read_text()
+    )
+    assert meta["epoch"] == 0
+    state2 = train_uncond_ddpm(
+        train.labels[:32], output_dir=tmp_path / "uncond",
+        num_epochs=2, batch_size=16, timesteps=50,
+        base_channels=8, sample_every=100, resume=True,
+    )
+    meta = json.loads(
+        (tmp_path / "uncond" / "training_meta.json").read_text()
+    )
+    assert meta["epoch"] == 1
+    assert int(state2.step) == 2 * int(state.step)  # one more epoch

@@ -42,6 +42,7 @@ def main():
         base_channels=args.pixel_diffusion_base_channels,
         seed=args.seed,
         mesh=_mesh(args),
+        resume=bool(args.resume),
     )
 
 
