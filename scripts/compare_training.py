@@ -457,6 +457,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--seed_offset", type=int, default=0,
+                    help="first seed (extend an earlier run without "
+                    "re-running its seeds)")
     ap.add_argument("--model", default="fno", choices=sorted(TRAINERS))
     ap.add_argument("--grid", type=int, default=16)
     ap.add_argument(
@@ -472,7 +475,7 @@ def main():
     root = make_tree(args.grid)
     ours_fn, ref_fn = TRAINERS[args.model]
     ours, ref = [], []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_offset, args.seed_offset + args.seeds):
         out = Path(tempfile.mkdtemp()) / "ours"
         kw = (
             dict(model_name=args.model)
