@@ -58,6 +58,41 @@ def test_locate_cylinder(synth_root):
     assert "analytic center" in p.stdout
 
 
+def test_plot_losses(tmp_path):
+    """Loss-curve plotter on both artifact layouts it supports."""
+    run = tmp_path / "run"
+    (run / "ckpt-2").mkdir(parents=True)
+    (run / "ckpt-4").mkdir()
+    (run / "train_losses.json").write_text(
+        json.dumps([1.0, 0.8, 0.6, 0.5, 0.45, 0.4])
+    )
+    (run / "ckpt-2" / "scores.json").write_text(
+        json.dumps(dict(ep=2, train_loss=0.6, dev_loss=0.7))
+    )
+    (run / "ckpt-4" / "scores.json").write_text(
+        json.dumps(dict(ep=4, train_loss=0.45, dev_loss=0.5))
+    )
+    p = run_script(["scripts/plot_losses.py", "--result_dir", str(run)])
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["n_train_points"] == 6 and out["n_dev_points"] == 2
+    assert Path(out["plot"]).exists()
+
+    vae_run = tmp_path / "vae_run"
+    vae_run.mkdir()
+    (vae_run / "loss_history.json").write_text(json.dumps(dict(
+        train_total=[1.0, 0.9, 0.8], val_total=[0.95, 0.85],
+        val_steps=[1, 2],
+    )))
+    p = run_script(
+        ["scripts/plot_losses.py", "--result_dir", str(vae_run),
+         "--log_scale"]
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["n_dev_points"] == 2
+
+
 def test_vae_diagnostics_write(tmp_path):
     """The full diagnostics battery (embedding, histograms, traversals,
     reconstructions, interpolation, collapse JSON) on a tiny untrained
