@@ -32,7 +32,7 @@ tunnel round trip, which is a dev-harness artifact, not a TPU property.
 Robustness contract (round 4 — BENCH_r03.json was rc=124/parsed=null):
 
 - **Global wall-clock budget** (``CFDBENCH_BENCH_BUDGET_SEC``, default
-  600 s): when exceeded, remaining workers are skipped and the final
+  900 s): when exceeded, remaining workers are skipped and the final
   JSON line is printed with whatever was measured.
 - **Headline-first ordering**: rollout b128 → train b128 mixed →
   bf16-storage b128 → everything else, so an early kill still captures
@@ -76,7 +76,11 @@ FLAGSHIP = dict(depth=4, hidden=32, modes=12, h=64, w=64)
 PEAK_BF16_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (public spec)
 
 # Global orchestrator budget + per-worker limits (see module docstring).
-BUDGET_SEC = float(os.environ.get("CFDBENCH_BENCH_BUDGET_SEC", "600"))
+# 900 s: with the SIGTERM rescue a driver kill still emits the line, so
+# the budget's job is only to finish cleanly ahead of it; measured
+# wedge-state days (BASELINE.md §wedge) burn ~585 s on the ping alone
+# and still need room for one headline attempt.
+BUDGET_SEC = float(os.environ.get("CFDBENCH_BENCH_BUDGET_SEC", "900"))
 WORKER_TIMEOUT_SEC = float(
     os.environ.get("CFDBENCH_BENCH_WORKER_TIMEOUT", "240")
 )
