@@ -89,6 +89,9 @@ MIN_WORKER_SEC = 35.0
 PARTIAL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_partial.json"
 )
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+)
 
 _T0 = time.time()
 
@@ -677,6 +680,12 @@ def run_worker_inproc(spec):
 
     import jax
 
+    # CFDBENCH_BENCH_PLATFORM=cpu forces workers onto the host platform
+    # (the env var alone is overridden by the axon plugin; the config
+    # API wins) — used by the orchestration tests.
+    plat = os.environ.get("CFDBENCH_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     # Persistent compilation cache: a hit turns the 1-2 min tunnel
     # compile into <1 s and does not affect measured execution times
     # (slope timing measures steady-state runs). CFDBENCH_XLA_CACHE=0
@@ -812,7 +821,40 @@ class BenchRun:
             return
         self.emitted = True
         self.write_partial()
-        print(json.dumps(self.snapshot()), flush=True)
+        snap = self.snapshot()
+        if snap["value"] > 0:
+            # Append successful runs to a local history so a later
+            # wedge-day run can cite the last real measurement.
+            try:
+                with open(HISTORY_PATH, "a") as f:
+                    f.write(json.dumps(
+                        dict(ts=time.time(), value=snap["value"],
+                             details=snap["details"])
+                    ) + "\n")
+            except OSError:
+                pass
+        else:
+            # Nothing measured (wedged tunnel — BASELINE.md §wedge):
+            # attach the most recent successful run, clearly labeled,
+            # so the artifact still carries real numbers + provenance.
+            try:
+                with open(HISTORY_PATH) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln]
+                if lines:
+                    last = json.loads(lines[-1])
+                    snap["details"]["last_known_good"] = dict(
+                        note=(
+                            "this run measured nothing (backend "
+                            "wedged); most recent successful bench "
+                            "on this machine follows"
+                        ),
+                        age_sec=round(time.time() - last["ts"], 0),
+                        value=last["value"],
+                        details=last["details"],
+                    )
+            except (OSError, ValueError):
+                pass
+        print(json.dumps(snap), flush=True)
 
 
 def main():

@@ -1,0 +1,116 @@
+"""bench.py orchestration contract tests (CPU, no TPU needed).
+
+The driver parses bench.py's single JSON line; round 3 produced none
+(BENCH_r03.json rc=124/parsed=null). These tests pin the round-4
+robustness contract: a line is emitted under budget exhaustion and
+under SIGTERM, workers run on a forced-CPU platform, and a wedge-day
+emit cites the last successful measurement.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+BENCH = REPO / "bench.py"
+
+
+def _env(**extra):
+    env = dict(os.environ)
+    env["CFDBENCH_BENCH_PLATFORM"] = "cpu"
+    env.update({k: str(v) for k, v in extra.items()})
+    return env
+
+
+def test_ping_worker_cpu():
+    p = subprocess.run(
+        [sys.executable, str(BENCH), "--worker", '{"kind": "ping"}'],
+        capture_output=True, text=True, timeout=180, env=_env(),
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["platform"] == "cpu"
+    assert out["sync_roundtrip_ms"] > 0
+    # heartbeats mark the compile/execute boundary for wedge attribution
+    assert "ping: compile done" in p.stderr
+
+
+def test_budget_exhaustion_still_emits():
+    p = subprocess.run(
+        [sys.executable, str(BENCH)], capture_output=True, text=True,
+        timeout=120, env=_env(CFDBENCH_BENCH_BUDGET_SEC=3),
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "fno_rollout_frames_per_sec_per_chip"
+    assert out["value"] == 0.0
+    assert out["details"]["skipped_for_budget"]  # everything skipped
+
+
+def test_sigterm_emits_line():
+    """timeout(1) sends SIGTERM — the round-3 kill path must now still
+    yield a parsed line."""
+    proc = subprocess.Popen(
+        [sys.executable, str(BENCH)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_env(CFDBENCH_BENCH_BUDGET_SEC=600),
+    )
+    time.sleep(5)  # mid-ping
+    proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=60)
+    out = json.loads(stdout.strip().splitlines()[-1])
+    assert out["details"]["interrupted_by_signal"] == signal.SIGTERM
+    assert "value" in out and "vs_baseline" in out
+
+
+def test_last_known_good_attachment(tmp_path, monkeypatch):
+    import bench
+
+    # BenchRun installs SIGTERM/SIGINT handlers that os._exit; restore
+    # pytest's afterward.
+    old = {s: signal.getsignal(s) for s in (signal.SIGTERM, signal.SIGINT)}
+    monkeypatch.setattr(
+        bench, "BenchRun", bench.BenchRun
+    )  # no-op; keeps import explicit
+    try:
+        _run_last_known_good(tmp_path, monkeypatch, bench)
+    finally:
+        for s, h in old.items():
+            signal.signal(s, h)
+
+
+def _run_last_known_good(tmp_path, monkeypatch, bench):
+
+    hist = tmp_path / "hist.jsonl"
+    hist.write_text(json.dumps(dict(
+        ts=time.time() - 3600, value=62345.0,
+        details={"rollout_fps_bf16": {"128": 62345.0}},
+    )) + "\n")
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+
+    br = bench.BenchRun(budget=1.0)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        br.emit()
+    out = json.loads(buf.getvalue().strip())
+    assert out["value"] == 0.0
+    lkg = out["details"]["last_known_good"]
+    assert lkg["value"] == 62345.0
+    assert lkg["age_sec"] >= 3600
+    # and a successful run appends to history instead
+    br2 = bench.BenchRun(budget=1.0)
+    br2.rollout["128"] = 50000.0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        br2.emit()
+    lines = [ln for ln in hist.read_text().splitlines() if ln]
+    assert len(lines) == 2
+    assert json.loads(lines[-1])["value"] == 50000.0
