@@ -47,6 +47,23 @@ def _one_step(task, batch, mesh):
     return jax.device_get(state.params), float(scores["nmse"])
 
 
+def test_make_mesh_sets_spectral_data_shards():
+    """The spectral 'auto' backend crossover is per-chip batch; mesh
+    construction must record the data-axis size (ADVICE r3 #1)."""
+    from cfdbench_tpu.ops import spectral
+
+    before = spectral.AUTO_DATA_SHARDS
+    try:
+        make_mesh("4x2")
+        assert spectral.AUTO_DATA_SHARDS == 4
+        make_mesh("8x1")
+        assert spectral.AUTO_DATA_SHARDS == 8
+        make_mesh("1x1")
+        assert spectral.AUTO_DATA_SHARDS == 1
+    finally:
+        spectral.AUTO_DATA_SHARDS = before
+
+
 def test_dp_tp_matches_single_device(rng):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
