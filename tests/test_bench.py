@@ -59,7 +59,12 @@ def test_sigterm_emits_line():
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=_env(CFDBENCH_BENCH_BUDGET_SEC=600),
     )
-    time.sleep(5)  # mid-ping
+    # Wait for the orchestrator's first "[bench] ..." stderr line: it
+    # proves BenchRun is constructed and the signal handlers installed
+    # (a fixed sleep raced on a loaded 1-core host).
+    line = proc.stderr.readline()
+    assert "[bench]" in line, line
+    time.sleep(1)  # mid-ping
     proc.send_signal(signal.SIGTERM)
     stdout, _ = proc.communicate(timeout=60)
     out = json.loads(stdout.strip().splitlines()[-1])
