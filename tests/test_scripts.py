@@ -58,6 +58,60 @@ def test_locate_cylinder(synth_root):
     assert "analytic center" in p.stdout
 
 
+def test_get_result_tsv(tmp_path):
+    """Result collector emits one TSV row per run with mean metrics."""
+    run = (tmp_path / "auto" / "cavity_prop" / "dt0.1" / "fno"
+           / "lr0.0001_d4" / "test")
+    run.mkdir(parents=True)
+    (run / "scores.json").write_text(json.dumps(dict(
+        mean=dict(mse=0.01, nmse=0.1), all={},
+    )))
+    p = run_script(["scripts/get_result.py", str(tmp_path)])
+    assert p.returncode == 0, p.stderr
+    lines = p.stdout.strip().splitlines()
+    assert lines[0].startswith("regime\tdata\tdt\tmodel\thparams")
+    assert len(lines) == 2
+    assert "fno" in lines[1] and "1.000000e-01" in lines[1]
+
+
+def test_get_stats(synth_root):
+    p = run_script(
+        ["scripts/get_stats.py", "--data_name", "cavity_prop",
+         "--data_dir", str(synth_root)]
+    )
+    assert p.returncode == 0, p.stderr
+    assert "mean" in p.stdout and "std" in p.stdout
+
+
+def test_plot_multistep(tmp_path):
+    for model, base in (("fno", 0.01), ("unet", 0.02)):
+        run = (tmp_path / "auto" / "cavity_prop" / "dt0.1" / model
+               / "h")
+        run.mkdir(parents=True)
+        (run / "multistep_metrics.json").write_text(json.dumps(
+            [dict(nmse=base * (i + 1), mse=0.1, mae=0.1)
+             for i in range(5)]
+        ))
+    out = tmp_path / "curves.pdf"
+    p = run_script(
+        ["scripts/plot_multistep.py", str(tmp_path), "cavity_prop",
+         str(out)]
+    )
+    assert p.returncode == 0, p.stderr
+    assert out.exists()
+
+
+def test_plot_mask_overlay(synth_root, tmp_path):
+    case = sorted((synth_root / "cylinder" / "geo").glob("case*"))[0]
+    out = tmp_path / "overlay.png"
+    p = run_script(
+        ["scripts/plot_mask_overlay.py", str(case), "cylinder",
+         str(out)]
+    )
+    assert p.returncode == 0, p.stderr
+    assert out.exists()
+
+
 def test_plot_losses(tmp_path):
     """Loss-curve plotter on both artifact layouts it supports."""
     run = tmp_path / "run"
