@@ -40,57 +40,62 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 B, H, W, P = 2, 16, 16, 5
 
 
+sys.path.insert(0, str(REPO_ROOT))
+
+# The torch→flax array mappings live in the installed package
+# (cfdbench_tpu/utils/torch_import.py) and are shared with the
+# user-facing checkpoint importer (scripts/import_reference_checkpoint.py)
+# — one source of truth, locked at value level by the golden fixtures
+# this script emits. The thin wrappers below adapt raw torch state
+# dicts (tensors) to those numpy-based helpers and keep this script's
+# historical signatures.
+from cfdbench_tpu.utils import torch_import as _ti
+
+
 def t2n(x):
-    return x.detach().cpu().numpy()
+    return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+
+class _NpSd:
+    """Numpy view of a torch state dict (converts per-key access)."""
+
+    def __init__(self, sd):
+        self._sd = sd
+
+    def __getitem__(self, k):
+        return t2n(self._sd[k])
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
 
 
 def lin(sd, key):
-    """torch Linear → our Dense wrapper subtree."""
-    return {
-        "Dense_0": {
-            "kernel": t2n(sd[f"{key}.weight"]).T,
-            "bias": t2n(sd[f"{key}.bias"]),
-        }
-    }
+    return _ti.lin(_NpSd(sd), key)
 
 
 def conv1x1_as_dense(sd, key):
-    return {
-        "Dense_0": {
-            "kernel": t2n(sd[f"{key}.weight"])[:, :, 0, 0].T,
-            "bias": t2n(sd[f"{key}.bias"]),
-        }
-    }
+    return _ti.conv1x1_as_dense(_NpSd(sd), key)
 
 
 def conv(sd, key):
-    """torch Conv2d → our Conv wrapper subtree (NHWC kernel)."""
-    return {
-        "Conv_0": {
-            "kernel": t2n(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
-            "bias": t2n(sd[f"{key}.bias"]),
-        }
-    }
+    return _ti.conv(_NpSd(sd), key)
 
 
 def bn(sd, key):
-    params = {
-        "scale": t2n(sd[f"{key}.weight"]),
-        "bias": t2n(sd[f"{key}.bias"]),
-    }
-    stats = {
-        "mean": t2n(sd[f"{key}.running_mean"]),
-        "var": t2n(sd[f"{key}.running_var"]),
-    }
-    return params, stats
+    return _ti.bn(_NpSd(sd), key)
 
 
-def mlp(sd, key, n_linear):
-    """Reference Ffn (Sequential of Linear/act) → our Mlp subtree."""
-    out = {}
-    for j in range(n_linear):
-        out[f"Dense_{j}"] = lin(sd, f"{key}.layers.{2 * j}")
-    return out
+def mlp(sd, key, n_linear=None):
+    """Reference Ffn → Mlp subtree; linear count inferred from keys and
+    cross-checked against the historical explicit count."""
+    view = _NpSd(sd)
+    inferred = _ti._seq_linear_indices(view, key)
+    if n_linear is not None:
+        assert len(inferred) == n_linear, (key, inferred, n_linear)
+    return _ti.mlp(view, key)
 
 
 def flatten(tree, prefix, out):
