@@ -743,11 +743,17 @@ class BenchRun:
         self.emit()
         os._exit(0)
 
-    def run(self, spec, retry=True, timeout=None):
+    def run(self, spec, retry=True, timeout=None, est=None):
         """Run one worker subprocess under the global budget; one retry
         on failure (the retry hits the persistent-XLA-cache entries the
-        first attempt wrote before timing out)."""
-        if self.remaining() < MIN_WORKER_SEC:
+        first attempt wrote before timing out).
+
+        ``est``: rough cold-ish cost estimate (seconds). A worker whose
+        estimate exceeds the remaining budget is skipped *without*
+        consuming any of it, so cheaper workers later in the schedule
+        still get their turn (round 4: a resnet train worker burned the
+        last 131 s timing out, starving four sub-minute workers)."""
+        if self.remaining() < max(MIN_WORKER_SEC, est or 0.0):
             self.skipped.append(spec)
             print(f"[bench] SKIP (budget) {spec}", file=sys.stderr,
                   flush=True)
@@ -946,8 +952,12 @@ def main():
         )
     # Conv family (UNet / ResNet): train + rollout — the reference's
     # timing harness scope covers any --model (src/train_auto.py:124-130).
+    # Cost estimates from measured runs (BASELINE.md): the conv-family
+    # and gencast workers carry heavy compiles; annotate so a thin
+    # remaining budget skips them in favor of the cheap tail workers.
     for m in ("unet", "resnet"):
-        t = br.run(dict(kind="train", batch=128, model=m))
+        t = br.run(dict(kind="train", batch=128, model=m),
+                   est=180.0 if m == "resnet" else 90.0)
         if t:
             row = dict(
                 ms_per_step=round(t["ms_per_step"], 3),
@@ -956,12 +966,13 @@ def main():
             if "mfu_pct" in t:  # absent when XLA cost analysis fails
                 row["mfu_pct"] = round(t["mfu_pct"], 2)
             details[f"{m}_train_b128_mixed"] = row
-        r = br.run(dict(kind="rollout", batch=128, model=m))
+        r = br.run(dict(kind="rollout", batch=128, model=m),
+                   est=120.0 if m == "resnet" else 60.0)
         if r:
             details[f"{m}_rollout_fps_b128"] = round(
                 r["frames_per_sec"], 1
             )
-    gc = br.run(dict(kind="train_gencast", batch=32))
+    gc = br.run(dict(kind="train_gencast", batch=32), est=150.0)
     if gc:
         details["gencast_train_b32"] = {
             k: round(v, 2) for k, v in gc.items()

@@ -178,6 +178,53 @@ def auto_deeponet_state_dict(tree):
     return sd
 
 
+def auto_ffn_state_dict(tree):
+    sd = {}
+    inv_mlp(sd, "ffn", tree["params"]["Mlp_0"])
+    return sd
+
+
+def auto_edeeponet_state_dict(tree):
+    p = tree["params"]
+    sd = {"bias": p["bias"]}
+    inv_mlp(sd, "branch1", p["Mlp_0"])
+    inv_mlp(sd, "branch2", p["Mlp_1"])
+    inv_mlp(sd, "trunk_net", p["Mlp_2"])
+    return sd
+
+
+def auto_deeponet_cnn_state_dict(tree):
+    p = tree["params"]
+    sd = {}
+    branch = p["CnnBranch_0"]
+    inv_conv(sd, "branch_net.in_conv", branch["Conv_0"])
+    # Reference CnnBranch: Sequential blocks of (conv, maxpool, act) —
+    # conv sits at every 3rd slot (src/models/auto_deeponet_cnn.py:13-39).
+    n_mid = len(branch) - 2
+    for j in range(n_mid):
+        inv_conv(sd, f"branch_net.blocks.{3 * j}", branch[f"Conv_{j + 1}"])
+    inv_conv(sd, "branch_net.out_conv", branch[f"Conv_{n_mid + 1}"])
+    inv_mlp(sd, "trunk_net", p["Mlp_0"])
+    inv_mlp(sd, "out_ffn", p["Mlp_1"])
+    return sd
+
+
+def ffn_state_dict(tree):
+    sd = {}
+    inv_mlp(sd, "ffn", tree["params"]["Mlp_0"])
+    return sd
+
+
+def deeponet_state_dict(tree):
+    p = tree["params"]
+    sd = {"bias": p["bias"]}
+    inv_mlp(sd, "branch_net", p["Mlp_0"])
+    inv_lin(sd, "fc_trunk_t", p["Dense_0"])
+    inv_lin(sd, "fc_trunk_xy", p["Dense_1"])
+    inv_mlp(sd, "trunk_net", p["Mlp_1"])
+    return sd
+
+
 # -------------------------------------------------------------------- tests
 
 
@@ -187,6 +234,11 @@ CASES = [
     ("unet", "unet_hidden.npz", unet_state_dict),
     ("resnet", "resnet.npz", resnet_state_dict),
     ("auto_deeponet", "auto_deeponet.npz", auto_deeponet_state_dict),
+    ("auto_ffn", "auto_ffn.npz", auto_ffn_state_dict),
+    ("auto_edeeponet", "auto_edeeponet.npz", auto_edeeponet_state_dict),
+    ("auto_deeponet_cnn", "auto_deeponet_cnn.npz", auto_deeponet_cnn_state_dict),
+    ("ffn", "ffn_nonauto.npz", ffn_state_dict),
+    ("deeponet", "deeponet_nonauto.npz", deeponet_state_dict),
 ]
 
 
