@@ -790,6 +790,56 @@ def make_unet_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
     print(f"wrote unet_adam_trajectory.npz (losses={losses})")
 
 
+def make_auto_deeponet_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
+    """Training-dynamics parity for the point/operator family: 5 Adam
+    steps of AutoDeepONet. The auto trainer calls forward with
+    query_idxs=None, which scores the FULL H*W lattice
+    (``src/models/auto_deeponet.py:119-125``) and takes the loss
+    against flat u labels (``:137-141``) — no query sampling on this
+    path, so the trajectory is exactly reproducible cross-framework.
+    Same seed/config as make_auto_deeponet ⇒ the converted init in
+    auto_deeponet.npz is this trajectory's step-0 params."""
+    from models.auto_deeponet import AutoDeepONet
+    from models.loss import MseLoss
+
+    torch.manual_seed(17)
+    depth = 2
+    m = AutoDeepONet(
+        branch_dim=H * W + P, trunk_dim=2, loss_fn=MseLoss(True),
+        branch_depth=depth, trunk_depth=depth, width=16, act_name="relu",
+    ).train()
+    rng = np.random.default_rng(46)
+    batches_ = []
+    for _ in range(2):
+        inputs, case_params, mask = fixed_inputs(rng)
+        label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+        batches_.append((inputs, case_params, mask, label))
+    opt = torch.optim.Adam(m.parameters(), lr=lr)
+    losses = []
+    for step in range(n_steps):
+        inputs, case_params, mask, label = batches_[step % 2]
+        opt.zero_grad()
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask), label=torch.tensor(label),
+        )
+        loss = out["loss"]["nmse"]
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    data = {"losses": np.asarray(losses, np.float32),
+            "lr": np.float32(lr)}
+    for i, (inputs, case_params, mask, label) in enumerate(batches_):
+        data[f"b{i}_input"] = inputs.transpose(0, 2, 3, 1)
+        data[f"b{i}_case_params"] = case_params
+        data[f"b{i}_mask"] = mask[..., None]
+        data[f"b{i}_label"] = label.transpose(0, 2, 3, 1)
+    np.savez_compressed(
+        Path(out_dir) / "auto_deeponet_adam_trajectory.npz", **data
+    )
+    print(f"wrote auto_deeponet_adam_trajectory.npz (losses={losses})")
+
+
 def make_dataset_goldens(out_dir):
     """Loader parity: run the *reference's* dataset classes on the same
     deterministic synthetic case tree the test suite uses (identical
@@ -888,6 +938,7 @@ def main():
     make_fno_sgd_trajectory(args.out)
     make_fno_adam_trajectory(args.out)
     make_unet_adam_trajectory(args.out)
+    make_auto_deeponet_adam_trajectory(args.out)
     make_dataset_goldens(args.out)
 
 

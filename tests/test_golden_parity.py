@@ -470,6 +470,48 @@ def test_unet_adam_trajectory_matches_reference():
         params = optax.apply_updates(params, updates)
 
 
+def test_auto_deeponet_adam_trajectory_matches_reference():
+    """5 Adam steps of AutoDeepONet on the full-lattice query loss —
+    training-dynamics parity for the point/operator family. The auto
+    trainer's forward path scores the full H*W lattice (query_idxs is
+    None, ``src/models/auto_deeponet.py:119-125``) with loss against
+    flat u labels (``:137-141``): no query sampling, so the torch
+    trajectory is exactly reproducible. Init params come from the
+    auto_deeponet forward golden (same seed/config)."""
+    import optax
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.point import AutoDeepONet
+
+    model = AutoDeepONet(
+        branch_dim=16 * 16 + 5, width=16,
+        branch_depth=2, trunk_depth=2, act_name="relu",
+    )
+    params, _, _, _, _, _ = load_case("auto_deeponet")
+    traj = dict(np.load(GOLDEN / "auto_deeponet_adam_trajectory.npz"))
+    loss_fn = loss_name_to_fn("nmse")
+    tx = optax.adam(float(traj["lr"]))
+    opt_state = tx.init(params)
+
+    def lf(p, b):
+        # (B, H*W) preds at the row-major lattice; labels = flat u —
+        # exactly AutoTask.loss_scores' pointwise branch.
+        preds = model.apply(
+            {"params": p}, traj[f"b{b}_input"],
+            traj[f"b{b}_case_params"], traj[f"b{b}_mask"], train=False,
+        )
+        labels = traj[f"b{b}_label"][..., 0].reshape(preds.shape[0], -1)
+        return loss_fn(preds, jnp.asarray(labels))["nmse"]
+
+    for step, exp_loss in enumerate(traj["losses"]):
+        loss, grads = jax.value_and_grad(lf)(params, step % 2)
+        assert np.isclose(float(loss), exp_loss, rtol=2e-5), (
+            step, float(loss), exp_loss
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+
 def test_golden_params_load_into_init_structure():
     """Converted trees are structurally identical to model.init's."""
     from cfdbench_tpu.models.fno import Fno2d
