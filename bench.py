@@ -722,6 +722,10 @@ class BenchRun:
         self.skipped = []
         self.child = None
         self.emitted = False
+        # --remeasure-baseline prints a {"baseline": ...} dict, not the
+        # rollout-metric schema; the signal handler must match it so a
+        # driver kill can't masquerade as a 0-valued rollout headline.
+        self.baseline_mode = False
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, self._on_signal)
 
@@ -740,7 +744,12 @@ class BenchRun:
             except Exception:
                 pass
         self.details["interrupted_by_signal"] = signum
-        self.emit()
+        if self.baseline_mode:
+            print(json.dumps(
+                dict(baseline=None, interrupted_by_signal=signum)
+            ), flush=True)
+        else:
+            self.emit()
         os._exit(0)
 
     def run(self, spec, retry=True, timeout=None, est=None):
@@ -871,6 +880,7 @@ def main():
 
     if "--remeasure-baseline" in sys.argv:
         br = BenchRun()
+        br.baseline_mode = True
         out = br.run(dict(kind="baseline"))
         print(json.dumps(dict(baseline=out)))
         return

@@ -3,9 +3,18 @@
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import jax
+
+# Honor JAX_PLATFORMS=cpu even where a preinstalled TPU plugin
+# overrides the environment variable (the config API wins) — needed to
+# run the trainers on virtual CPU devices, e.g.
+# XLA_FLAGS=--xla_force_host_platform_device_count=8 for pp smoke runs.
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from .config import Args

@@ -508,14 +508,22 @@ SPECTRAL_BACKENDS = (
 )
 
 
+def auto_backend_for(per_chip_batch: int) -> str:
+    """rsep/wfirst choice for a known PER-CHIP batch. Callers that
+    already hold local (per-shard) shapes — e.g. inside a ``shard_map``
+    body, where ``x.shape[0]`` is the local microbatch — should call
+    this directly instead of letting ``spectral_conv2d``'s "auto"
+    branch divide by ``AUTO_DATA_SHARDS`` a second time."""
+    return (
+        "matmul_rsep" if per_chip_batch >= AUTO_RSEP_MIN_BATCH
+        else "matmul_wfirst"
+    )
+
+
 def spectral_conv2d(x, weights, modes1: int, modes2: int, backend=None):
     b = backend or SPECTRAL_BACKEND
     if b == "auto":
-        per_chip = x.shape[0] // max(1, AUTO_DATA_SHARDS)
-        b = (
-            "matmul_rsep" if per_chip >= AUTO_RSEP_MIN_BATCH
-            else "matmul_wfirst"
-        )
+        b = auto_backend_for(x.shape[0] // max(1, AUTO_DATA_SHARDS))
     if b == "matmul_rsep":
         return spectral_conv2d_matmul_rsep(x, weights, modes1, modes2)
     if b == "matmul_wfirst":

@@ -23,12 +23,20 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(
-    spec: str = "auto", devices: Optional[Sequence] = None
+    spec: str = "auto",
+    devices: Optional[Sequence] = None,
+    tune_spectral: bool = True,
 ) -> Mesh:
     """Build a ``(data, model)`` mesh.
 
     spec: ``"auto"`` (all devices on data), ``"N"`` (N-way data), or
     ``"NxM"`` (N-way data × M-way model).
+
+    ``tune_spectral``: publish the data-axis size to the spectral
+    "auto" backend heuristic (a process-wide setting — the last mesh
+    built with ``tune_spectral=True`` wins). Pass ``False`` for
+    throwaway/diagnostic meshes so they don't perturb backend
+    selection for the primary mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -41,12 +49,14 @@ def make_mesh(
     assert d * m <= n, f"mesh {d}x{m} needs {d * m} devices, have {n}"
     arr = np.array(devices[: d * m]).reshape(d, m)
     mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-    # The spectral "auto" backend's rsep/wfirst crossover is a per-chip
-    # batch threshold; tell it the data-axis size so a global-batch
-    # shape traced under this mesh is judged per shard.
-    from ..ops import spectral
+    if tune_spectral:
+        # The spectral "auto" backend's rsep/wfirst crossover is a
+        # per-chip batch threshold; tell it the data-axis size so a
+        # global-batch shape traced under this mesh is judged per
+        # shard.
+        from ..ops import spectral
 
-    spectral.AUTO_DATA_SHARDS = d
+        spectral.AUTO_DATA_SHARDS = d
     return mesh
 
 

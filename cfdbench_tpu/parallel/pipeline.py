@@ -51,6 +51,7 @@ from ..models.common import (
     ensure_mask,
     gelu_exact,
 )
+from ..ops import spectral
 from ..ops.spectral import spectral_conv2d
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -103,7 +104,17 @@ def make_pipelined_fno_forward(
     m1, m2 = model.modes1, model.modes2
 
     def block_apply(bp, x):
-        x1 = spectral_conv2d(x, bp["SpectralConv2d_0"]["weights"], m1, m2)
+        # Inside the shard_map body x.shape[0] is already the LOCAL
+        # per-chip microbatch — resolve "auto" from it directly rather
+        # than letting spectral_conv2d's auto branch divide by
+        # AUTO_DATA_SHARDS a second time. Explicit (non-auto) backend
+        # choices pass through untouched.
+        b = spectral.SPECTRAL_BACKEND
+        if b == "auto":
+            b = spectral.auto_backend_for(x.shape[0])
+        x1 = spectral_conv2d(
+            x, bp["SpectralConv2d_0"]["weights"], m1, m2, backend=b
+        )
         x2 = _dense(bp["Dense_0"], x)
         return gelu_exact(x1 + x2)
 

@@ -39,29 +39,11 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
 
-from make_golden import conv1x1_as_dense, t2n  # noqa: E402
+from make_golden import t2n  # noqa: E402
 
-
-def map_fno_params(sd, depth):
-    """torch Fno2d state_dict → this repo's flax tree (same mapping as
-    scripts/make_golden.py::make_fno, parameterized over depth)."""
-    params = {
-        "Dense_0": conv1x1_as_dense(sd, "fc0"),
-        "Dense_1": conv1x1_as_dense(sd, "fc1"),
-        "Dense_2": conv1x1_as_dense(sd, "fc2"),
-    }
-    for i in range(depth):
-        w1 = t2n(sd[f"blocks.{i}.conv0.weights1"])
-        w2 = t2n(sd[f"blocks.{i}.conv0.weights2"])
-        spectral = np.stack([
-            np.stack([w1.real, w1.imag]),
-            np.stack([w2.real, w2.imag]),
-        ]).astype(np.float32)
-        params[f"FnoBlock_{i}"] = {
-            "SpectralConv2d_0": {"weights": spectral},
-            "Dense_0": conv1x1_as_dense(sd, f"blocks.{i}.w0"),
-        }
-    return params
+# Single source of truth for the torch->flax FNO layout mapping —
+# don't re-implement it here (utils/torch_import.py::import_fno).
+from cfdbench_tpu.utils.torch_import import import_state_dict  # noqa: E402
 
 
 def main():
@@ -96,7 +78,7 @@ def main():
     mask = np.ones((B, H, W), np.float32)
     mask[:, H // 3: H // 2, W // 3: 2 * W // 3] = 0.0
 
-    params = map_fno_params(ref.state_dict(), a.depth)
+    params = import_state_dict("fno", ref.state_dict())["params"]
 
     from cfdbench_tpu.metrics import loss_name_to_fn
     from cfdbench_tpu.models.fno import Fno2d

@@ -42,19 +42,24 @@ def embed_2d(flat, perplexity=30):
     """2-D embedding of flattened latent means: t-SNE when sklearn is
     available (``src/utils/vae.py:55-57``), else top-2 PCA. Returns
     ``(points, method_name)``."""
-    try:
-        from sklearn.manifold import TSNE
+    # TSNE needs perplexity < n_samples, so n >= 4 for the minimum
+    # perplexity of 2 plus headroom; tiny sample counts (smoke tests,
+    # 2-frame datasets) go straight to PCA.
+    if flat.shape[0] >= 4:
+        try:
+            from sklearn.manifold import TSNE
 
-        p = min(perplexity, max(2, flat.shape[0] - 1))
-        return (
-            TSNE(n_components=2, random_state=42,
-                 perplexity=p).fit_transform(flat),
-            "tsne",
-        )
-    except ImportError:
-        centered = flat - flat.mean(0)
-        _, _, vt = np.linalg.svd(centered, full_matrices=False)
-        return centered @ vt[:2].T, "pca"
+            p = min(perplexity, max(2, flat.shape[0] - 2))
+            return (
+                TSNE(n_components=2, random_state=42,
+                     perplexity=p).fit_transform(flat),
+                "tsne",
+            )
+        except ImportError:
+            pass
+    centered = flat - flat.mean(0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    return centered @ vt[:2].T, "pca"
 
 
 def write_diagnostics(vae, params, frames, out_dir, n_traversal_steps=7,

@@ -72,6 +72,25 @@ def test_sigterm_emits_line():
     assert "value" in out and "vs_baseline" in out
 
 
+def test_remeasure_baseline_sigterm_keeps_schema():
+    """--remeasure-baseline prints a {"baseline": ...} dict; a driver
+    kill must yield that schema (baseline=null), not a 0-valued
+    rollout-metric line that could be mistaken for a measurement."""
+    proc = subprocess.Popen(
+        [sys.executable, str(BENCH), "--remeasure-baseline"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_env(CFDBENCH_BENCH_BUDGET_SEC=600),
+    )
+    line = proc.stderr.readline()
+    assert "[bench]" in line, line
+    proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=60)
+    out = json.loads(stdout.strip().splitlines()[-1])
+    assert out == {
+        "baseline": None, "interrupted_by_signal": signal.SIGTERM
+    }
+
+
 def test_last_known_good_attachment(tmp_path, monkeypatch):
     import bench
 
