@@ -487,6 +487,37 @@ def main_multistep(argv=None) -> None:
         params = variables.pop("params")
 
         fb = task.feedback_channels
+        if args.rollout_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"--rollout_dtype {args.rollout_dtype!r}: choose "
+                "float32 or bfloat16"
+            )
+        roll_frame0, roll_cp, roll_mask = frame0, case_params, mask
+        if (
+            args.rollout_dtype == "bfloat16"
+            and not getattr(task, "generative", False)
+            and not args.use_pallas_head
+        ):
+            # bf16-storage rollout: cast params/state/inputs once; the
+            # scan then carries bf16 frames (halves HBM traffic on the
+            # HBM-bound FNO rollout — config.py::rollout_dtype).
+            # Stochastic diffusion rollouts keep f32 (DDPM ancestral
+            # steps accumulate noise-scale roundoff differently).
+            # Metrics below still score f32 preds vs f32 ground truth.
+            bf16 = jnp_bf16()
+
+            def _cast(x):
+                return (
+                    x.astype(bf16)
+                    if hasattr(x, "dtype") and x.dtype == np.float32
+                    else x
+                )
+
+            params = jax.tree.map(_cast, params)
+            variables = jax.tree.map(_cast, variables)
+            roll_frame0 = np.asarray(frame0, bf16)
+            roll_cp = np.asarray(case_params, bf16)
+            roll_mask = np.asarray(mask, bf16)
         if getattr(task, "generative", False):
             # Diffusion chaining: each step is a DDPM sampling run with
             # fresh noise (``src/models/pixel_diffusion.py:139-154``).
@@ -516,7 +547,10 @@ def main_multistep(argv=None) -> None:
                 steps=infer_steps,
                 include_initial=(args.model == "resnet"),
             )
-        preds = rollout(params, frame0[..., :fb], case_params, mask)
+        preds = rollout(
+            params, roll_frame0[..., :fb], roll_cp, roll_mask
+        )
+        preds = np.asarray(preds, np.float32)
     metrics = multistep_metrics(preds, features, mask)
     for m in metrics:
         print(m)

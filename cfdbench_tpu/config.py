@@ -190,6 +190,14 @@ class Args:
     Pallas kernel in rollout/inference paths (ops/pallas_fno.py). The
     numerics equal the XLA path (unit-tested); see bench.py's
     rollout_fps_pallas_head_* for measured XLA-vs-Pallas timings."""
+    rollout_dtype: str = "float32"
+    """Multi-step rollout storage dtype: "float32" (stock) or
+    "bfloat16" — params/activations/carried frames stored bf16 during
+    the rollout scan (matmuls are bf16 on TPU either way; this halves
+    HBM traffic on the HBM-bound FNO rollout: +31% frames/s at batch
+    128, BASELINE.md §measured). Metrics are always computed in f32
+    against f32 ground truth. Deterministic auto models only (the
+    stochastic diffusion rollouts keep f32)."""
     matmul_precision: str = "default"
     """XLA matmul precision: 'default' (bf16 multiplies, f32 accumulate
     — fastest on TPU), 'high', or 'highest' (full f32, for numerical

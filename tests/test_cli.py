@@ -48,6 +48,31 @@ def test_train_auto_fno_end_to_end(synth_root, out_root):
     assert len(metrics) == 20
     assert all(set(m) == {"mse", "nmse", "mae"} for m in metrics)
 
+    # --rollout_dtype bfloat16: the bf16-storage inference mode (+31%
+    # frames/s on TPU, BASELINE.md) must stay metric-close to f32 —
+    # scores are computed in f32 either way, only the scan storage
+    # changes.
+    import math
+
+    main_multistep([
+        "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--output_dir", str(out),
+        "--fno_depth", "1", "--fno_hidden_dim", "8",
+        "--fno_modes_x", "4", "--fno_modes_y", "4",
+        "--mesh_shape", "1", "--rollout_dtype", "bfloat16",
+    ])
+    metrics_bf16 = json.loads(
+        (run / "multistep_metrics.json").read_text()
+    )
+    assert len(metrics_bf16) == 20
+    assert all(
+        math.isfinite(v) for m in metrics_bf16 for v in m.values()
+    )
+    for a, b in zip(metrics, metrics_bf16):
+        assert abs(a["nmse"] - b["nmse"]) <= 0.08 * max(1.0, a["nmse"]), (
+            a, b,
+        )
+
 
 def test_multistep_pixel_diffusion_end_to_end(synth_root, out_root):
     """Diffusion family in test_multistep (round-1 gap #2): train a tiny
