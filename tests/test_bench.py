@@ -84,7 +84,10 @@ def test_remeasure_baseline_sigterm_keeps_schema():
     line = proc.stderr.readline()
     assert "[bench]" in line, line
     proc.send_signal(signal.SIGTERM)
-    stdout, _ = proc.communicate(timeout=60)
+    # generous: on the loaded 1-core host the worker subprocess's jax
+    # import can hold the CPU for tens of seconds before the parent's
+    # handler gets scheduled.
+    stdout, _ = proc.communicate(timeout=150)
     out = json.loads(stdout.strip().splitlines()[-1])
     assert out == {
         "baseline": None, "interrupted_by_signal": signal.SIGTERM
