@@ -840,6 +840,55 @@ def make_auto_deeponet_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
     print(f"wrote auto_deeponet_adam_trajectory.npz (losses={losses})")
 
 
+def make_resnet_adam_trajectory(out_dir, n_steps=5, lr=1e-3):
+    """Training-dynamics parity for the input-residual conv family: 5
+    Adam steps of the ResNet over two alternating fixed batches, taken
+    in eval mode (dropout off — cross-framework dropout RNG parity is
+    impossible, and the reference's ResNet forward never calls its
+    BatchNorms, ``src/models/resnet.py:55-77``, so eval mode changes
+    nothing else about the computation). Same seed/config as
+    make_resnet ⇒ the converted init in resnet.npz is this
+    trajectory's step-0 params."""
+    from models.loss import MseLoss
+    from models.resnet import ResNet
+
+    torch.manual_seed(13)
+    m = ResNet(
+        in_chan=2, out_chan=2, n_case_params=P, loss_fn=MseLoss(True),
+        hidden_chan=8, num_blocks=2, kernel_size=5, padding=2,
+    ).eval()
+    rng = np.random.default_rng(47)
+    batches_ = []
+    for _ in range(2):
+        inputs, case_params, mask = fixed_inputs(rng)
+        label = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+        batches_.append((inputs, case_params, mask, label))
+    opt = torch.optim.Adam(m.parameters(), lr=lr)
+    losses = []
+    for step in range(n_steps):
+        inputs, case_params, mask, label = batches_[step % 2]
+        opt.zero_grad()
+        out = m(
+            torch.tensor(inputs), torch.tensor(case_params),
+            mask=torch.tensor(mask), label=torch.tensor(label),
+        )
+        loss = out["loss"]["nmse"]
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    data = {"losses": np.asarray(losses, np.float32),
+            "lr": np.float32(lr)}
+    for i, (inputs, case_params, mask, label) in enumerate(batches_):
+        data[f"b{i}_input"] = inputs.transpose(0, 2, 3, 1)
+        data[f"b{i}_case_params"] = case_params
+        data[f"b{i}_mask"] = mask[..., None]
+        data[f"b{i}_label"] = label.transpose(0, 2, 3, 1)
+    np.savez_compressed(
+        Path(out_dir) / "resnet_adam_trajectory.npz", **data
+    )
+    print(f"wrote resnet_adam_trajectory.npz (losses={losses})")
+
+
 def make_dataset_goldens(out_dir):
     """Loader parity: run the *reference's* dataset classes on the same
     deterministic synthetic case tree the test suite uses (identical
@@ -939,6 +988,7 @@ def main():
     make_fno_adam_trajectory(args.out)
     make_unet_adam_trajectory(args.out)
     make_auto_deeponet_adam_trajectory(args.out)
+    make_resnet_adam_trajectory(args.out)
     make_dataset_goldens(args.out)
 
 

@@ -470,6 +470,49 @@ def test_unet_adam_trajectory_matches_reference():
         params = optax.apply_updates(params, updates)
 
 
+def test_resnet_adam_trajectory_matches_reference():
+    """5 Adam steps of the ResNet over two alternating fixed batches
+    (eval mode: dropout off; the reference's forward never calls its
+    BatchNorms — ``src/models/resnet.py:55-77`` — so nothing else
+    differs from train mode). Per-step losses must track the torch
+    reference — training-dynamics parity for the input-residual conv
+    family. Init params come from the resnet forward golden (same
+    seed/config)."""
+    import optax
+
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.resnet import ResNet
+
+    model = ResNet(
+        in_chan=2, out_chan=2, n_case_params=5, hidden_chan=8,
+        num_blocks=2, kernel_size=5, padding=2,
+    )
+    params, _, _, _, _, _ = load_case("resnet")
+    traj = dict(np.load(GOLDEN / "resnet_adam_trajectory.npz"))
+    loss_fn = loss_name_to_fn("nmse")
+    tx = optax.adam(float(traj["lr"]))
+    opt_state = tx.init(params)
+
+    def lf(p, b):
+        preds = model.apply(
+            {"params": p}, traj[f"b{b}_input"],
+            traj[f"b{b}_case_params"], traj[f"b{b}_mask"], train=False,
+        )
+        return loss_fn(
+            preds,
+            jnp.asarray(traj[f"b{b}_label"])
+            * jnp.asarray(traj[f"b{b}_mask"]),
+        )["nmse"]
+
+    for step, exp_loss in enumerate(traj["losses"]):
+        loss, grads = jax.value_and_grad(lf)(params, step % 2)
+        assert np.isclose(float(loss), exp_loss, rtol=3e-5), (
+            step, float(loss), exp_loss
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+
 def test_auto_deeponet_adam_trajectory_matches_reference():
     """5 Adam steps of AutoDeepONet on the full-lattice query loss —
     training-dynamics parity for the point/operator family. The auto
