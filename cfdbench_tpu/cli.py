@@ -355,6 +355,11 @@ def main_multistep(argv=None) -> None:
     from .utils.artifacts import plot_multistep_metrics
 
     args = Args.parse_args(argv)
+    if args.rollout_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"--rollout_dtype {args.rollout_dtype!r}: choose "
+            "float32 or bfloat16"
+        )
     _apply_runtime_flags(args)
     print(args)
 
@@ -487,11 +492,6 @@ def main_multistep(argv=None) -> None:
         params = variables.pop("params")
 
         fb = task.feedback_channels
-        if args.rollout_dtype not in ("float32", "bfloat16"):
-            raise ValueError(
-                f"--rollout_dtype {args.rollout_dtype!r}: choose "
-                "float32 or bfloat16"
-            )
         roll_frame0, roll_cp, roll_mask = frame0, case_params, mask
         if (
             args.rollout_dtype == "bfloat16"

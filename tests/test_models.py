@@ -152,3 +152,19 @@ def test_gelu_exact_matches_erf_gelu():
     # second-order (hessian through custom_jvp) stays finite
     h = jax.vmap(jax.grad(jax.grad(gelu_exact)))(x[::100])
     assert np.all(np.isfinite(np.asarray(h)))
+
+
+def test_multistep_rejects_unknown_rollout_dtype():
+    """--rollout_dtype is validated right after parse — a typo fails
+    fast with a clear error, before any dataset or checkpoint IO (the
+    data_dir here does not even exist)."""
+    import pytest
+
+    from cfdbench_tpu.cli import main_multistep
+
+    with pytest.raises(ValueError, match="rollout_dtype"):
+        main_multistep([
+            "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+            "--data_dir", "/nonexistent", "--output_dir", "/nonexistent",
+            "--rollout_dtype", "fp8",
+        ])
