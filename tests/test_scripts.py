@@ -51,6 +51,28 @@ def test_find_cylinder_centers(synth_root):
         assert len(out["pattern"][axis]["offsets"]) == 3
 
 
+def test_serve_bench_selftest():
+    """Serving benchmark: export a throwaway FNO, time the served
+    StableHLO artifacts, and sanity-check the emitted JSON (predict +
+    rollout sections, near-zero served-vs-in-process overhead)."""
+    p = run_script(
+        ["scripts/serve_bench.py", "--selftest", "--batch", "4",
+         "--grid", "16", "--hidden", "8", "--depth", "2", "--modes", "4",
+         "--steps", "3", "--iters", "3"]
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout)["selftest"]
+    for kind, steps in (("predict", 1), ("rollout", 3)):
+        sec = out[kind]
+        assert sec["latency_ms_per_call"] > 0
+        assert sec["frames_per_sec"] > 0
+        assert sec["in_shapes"][0] == [4, 16, 16, 2]
+        expect = [4, 16, 16, 2] if steps == 1 else [3, 4, 16, 16, 2]
+        assert sec["out_shape"] == expect
+        # the artifact IS the compiled program; generous bound for CI noise
+        assert sec["served_overhead_pct"] < 150
+
+
 def test_locate_cylinder(synth_root):
     case = sorted((synth_root / "cylinder" / "prop").glob("case*"))[0]
     p = run_script(["scripts/locate_cylinder.py", str(case)])
