@@ -113,7 +113,7 @@ def selftest(ns) -> dict:
                            depth=ns.depth, modes=ns.modes,
                            steps=ns.steps))
     with tempfile.TemporaryDirectory() as td:
-        for kind, export_fn, live in (
+        sections = (
             (
                 "predict",
                 lambda p: export_predict(task, params, p, B, H, W, 5),
@@ -128,7 +128,10 @@ def selftest(ns) -> dict:
                     task.predict_frame, steps=ns.steps,
                 )(params, f, c, m)),
             ),
-        ):
+        )
+        for kind, export_fn, live in sections:
+            if ns.only and kind != ns.only:
+                continue
             path = Path(td) / f"{kind}.stablehlo"
             export_fn(path)
             served = bench_artifact(path, ns.iters)
@@ -157,6 +160,12 @@ def main(argv=None) -> None:
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--modes", type=int, default=12)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--only", choices=["predict", "rollout"], default=None,
+                    help="selftest: run just one section — on the "
+                         "tunneled TPU backend (which wedges after "
+                         "~3-4 large compilations per process, "
+                         "BASELINE.md §wedge) run each section in its "
+                         "own process")
     ns = ap.parse_args(argv)
 
     if ns.artifact is None and not ns.selftest:
@@ -170,6 +179,17 @@ def main(argv=None) -> None:
 
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compile cache (same one bench.py uses): a hit turns
+    # the 1-2 min tunnel compile into <1 s; execution timing unaffected.
+    if os.environ.get("CFDBENCH_XLA_CACHE", "1") != "0":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/cfdbench_tpu_xla"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
 
     result = {}
     if ns.artifact is not None:
