@@ -493,6 +493,14 @@ def main_multistep(argv=None) -> None:
 
         fb = task.feedback_channels
         roll_frame0, roll_cp, roll_mask = frame0, case_params, mask
+        if args.rollout_dtype == "bfloat16" and (
+            getattr(task, "generative", False) or args.use_pallas_head
+        ):
+            print(
+                "[multistep] --rollout_dtype bfloat16 ignored: "
+                "stochastic diffusion rollouts and --use_pallas_head "
+                "run in float32 (config.py::rollout_dtype)"
+            )
         if (
             args.rollout_dtype == "bfloat16"
             and not getattr(task, "generative", False)
@@ -550,7 +558,11 @@ def main_multistep(argv=None) -> None:
         preds = rollout(
             params, roll_frame0[..., :fb], roll_cp, roll_mask
         )
-        preds = np.asarray(preds, np.float32)
+        if preds.dtype != np.float32:
+            # On-device upcast so the jitted metrics score f32; the f32
+            # path stays on device untouched (host pulls cost ~28 ms
+            # per sync on this backend, and the full stack is large).
+            preds = preds.astype(np.float32)
     metrics = multistep_metrics(preds, features, mask)
     for m in metrics:
         print(m)

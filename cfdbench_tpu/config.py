@@ -196,8 +196,9 @@ class Args:
     the rollout scan (matmuls are bf16 on TPU either way; this halves
     HBM traffic on the HBM-bound FNO rollout: +31% frames/s at batch
     128, BASELINE.md §measured). Metrics are always computed in f32
-    against f32 ground truth. Deterministic auto models only (the
-    stochastic diffusion rollouts keep f32)."""
+    against f32 ground truth. Deterministic auto models only: the
+    stochastic diffusion rollouts and the --use_pallas_head path keep
+    f32 (the CLI warns and falls back)."""
     matmul_precision: str = "default"
     """XLA matmul precision: 'default' (bf16 multiplies, f32 accumulate
     — fastest on TPU), 'high', or 'highest' (full f32, for numerical

@@ -51,6 +51,12 @@ def make_rollout_fn(
             nxt = apply_fn(params, carry, case_params, mask, key)
         else:
             nxt = apply_fn(params, carry, case_params, mask)
+        # Models whose internals promote dtype (the point family's f32
+        # lattice coords, models/point.py::_lattice_xy) must not widen
+        # the carry — lax.scan requires carry-in == carry-out types,
+        # and a bf16-storage rollout should keep its feedback bf16.
+        # No-op when dtypes already match.
+        nxt = nxt.astype(carry.dtype)
         return nxt, nxt
 
     @functools.partial(jax.jit, donate_argnums=())

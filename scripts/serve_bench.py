@@ -104,7 +104,7 @@ def selftest(ns) -> dict:
     task = AutoTask(model, loss_name_to_fn("nmse"))
     B, H, W = ns.batch, ns.grid, ns.grid
     frame, cp, mask = _ones_inputs(
-        [type("A", (), {"shape": s, "dtype": "float32"})
+        [jax.ShapeDtypeStruct(s, "float32")
          for s in [(B, H, W, 2), (B, 5), (B, H, W, 1)]]
     )
     params = model.init(jax.random.PRNGKey(0), frame, cp, mask)["params"]

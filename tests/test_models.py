@@ -154,6 +154,35 @@ def test_gelu_exact_matches_erf_gelu():
     assert np.all(np.isfinite(np.asarray(h)))
 
 
+def test_point_family_bf16_rollout_carry():
+    """bf16-storage rollout must work for the point family: their f32
+    lattice coords (models/point.py::_lattice_xy) promote predictions
+    to float32, and lax.scan requires carry-in == carry-out types —
+    the rollout pins the feedback to the carry dtype (regression:
+    round-4 review found --rollout_dtype bfloat16 crashed here)."""
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.models.point import AutoDeepONet
+    from cfdbench_tpu.training.rollout import make_rollout_fn
+    from cfdbench_tpu.training.trainer_auto import AutoTask
+
+    h = w = 8
+    model = AutoDeepONet(branch_dim=h * w + P, width=8,
+                         branch_depth=2, trunk_depth=2)
+    task = AutoTask(model, loss_name_to_fn("nmse"))
+    frame = jnp.ones((2, h, w, 1), jnp.bfloat16)
+    cp = jnp.zeros((2, P), jnp.bfloat16)
+    mask = jnp.ones((2, h, w, 1), jnp.bfloat16)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        model.init(jax.random.PRNGKey(0), frame, cp, mask)["params"],
+    )
+    rollout = make_rollout_fn(task.predict_frame, steps=3)
+    frames = rollout(params, frame, cp, mask)
+    assert frames.shape == (3, 2, h, w, 1)
+    assert frames.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(frames, np.float32)))
+
+
 def test_multistep_rejects_unknown_rollout_dtype():
     """--rollout_dtype is validated right after parse — a typo fails
     fast with a clear error, before any dataset or checkpoint IO (the
