@@ -34,19 +34,26 @@ def save_params(params: Any, ckpt_dir: Path) -> None:
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     if _HAS_ORBAX:
-        path = (ckpt_dir / "model").absolute()
-        with ocp.StandardCheckpointer() as ckptr:
-            if path.exists():
-                # Reference backs up an existing model.pt before
-                # overwriting (train_auto.py:297-300); orbax refuses to
-                # overwrite, so rotate to backup_model.
-                backup = ckpt_dir / "backup_model"
-                if backup.exists():
-                    import shutil
+        import shutil
 
-                    shutil.rmtree(backup)
-                path.rename(backup)
-            ckptr.save(path, jax.device_get(params))
+        path = (ckpt_dir / "model").absolute()
+        # Crash-safe rotation: write the new checkpoint to a temp dir
+        # first, rotate only after the save completed — a kill at any
+        # point leaves an intact checkpoint under model/ or
+        # backup_model/ (load_params falls back to the backup).
+        tmp = (ckpt_dir / "model.tmp").absolute()
+        if tmp.exists():  # leftover from a killed save
+            shutil.rmtree(tmp)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(tmp, jax.device_get(params))
+        if path.exists():
+            # Reference backs up an existing model.pt before
+            # overwriting (train_auto.py:297-300).
+            backup = ckpt_dir / "backup_model"
+            if backup.exists():
+                shutil.rmtree(backup)
+            path.rename(backup)
+        tmp.rename(path)
     else:
         (ckpt_dir / "model.msgpack").write_bytes(
             serialization.to_bytes(jax.device_get(params))
@@ -76,18 +83,27 @@ def _explain_tree_mismatch(ckpt_path: Path, err: Exception) -> None:
 
 def load_params(template: Any, ckpt_dir: Path) -> Any:
     ckpt_dir = Path(ckpt_dir)
-    if _HAS_ORBAX and (ckpt_dir / "model").exists():
-        with ocp.StandardCheckpointer() as ckptr:
-            target = jax.tree.map(
-                lambda x: jax.device_get(x), template
-            )
-            try:
-                return ckptr.restore(
-                    (ckpt_dir / "model").absolute(), target
+    if _HAS_ORBAX:
+        # backup_model is the rotated previous save — used when a kill
+        # landed between save_params' rotation steps (see save_params).
+        for name in ("model", "backup_model"):
+            path = ckpt_dir / name
+            if not path.exists():
+                continue
+            if name == "backup_model":
+                print(
+                    f"[checkpoints] {ckpt_dir / 'model'} missing; "
+                    "restoring from backup_model (interrupted save)"
                 )
-            except Exception as e:
-                _explain_tree_mismatch(ckpt_dir / "model", e)
-                raise
+            with ocp.StandardCheckpointer() as ckptr:
+                target = jax.tree.map(
+                    lambda x: jax.device_get(x), template
+                )
+                try:
+                    return ckptr.restore(path.absolute(), target)
+                except Exception as e:
+                    _explain_tree_mismatch(path, e)
+                    raise
     data = (ckpt_dir / "model.msgpack").read_bytes()
     return serialization.from_bytes(template, data)
 

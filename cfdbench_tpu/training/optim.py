@@ -105,6 +105,11 @@ def make_adam(
     second moment). The non-f32 variants exist for wide models whose
     step is optimizer-traffic-bound (BASELINE.md §anatomy); the
     trainers expose this as ``--opt_state_dtype``."""
+    # Under gradient accumulation optax.MultiSteps advances the inner
+    # schedule once per optimizer step (every k micro-batches), so the
+    # per-epoch step count must be in optimizer-step units for the
+    # staircase to decay on epoch boundaries.
+    steps_per_epoch = max(1, steps_per_epoch // max(1, grad_accum_steps))
     schedule = step_lr_schedule(lr, gamma, lr_step_size, steps_per_epoch)
     if opt_state == "bf16":
         parts = [scale_by_adam_compact()]

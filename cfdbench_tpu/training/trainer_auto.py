@@ -492,7 +492,7 @@ def train(
     present. The reference's main trainers can only restart from
     scratch (SURVEY.md §5 failure recovery — only its GenCast trainer
     resumes); here every eval epoch snapshots the full state."""
-    from .optim import make_adam
+    from .optim import make_adam, step_lr_schedule
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -504,9 +504,10 @@ def train(
         steps_per_epoch=steps_per_epoch,
         opt_state=opt_state,
     )
-    lr_schedule = lambda step: lr * lr_gamma ** (  # noqa: E731
-        (step // steps_per_epoch) // lr_step_size
-    )
+    # Display-only; same function that drives the optimizer in
+    # make_adam, so logs can't diverge from the applied lr.
+    lr_schedule = step_lr_schedule(lr, lr_gamma, lr_step_size,
+                                   steps_per_epoch)
 
     arrays = dataset_arrays(train_data)
     sample = next(iter(batches(arrays, batch_size, shuffle=False)))

@@ -58,11 +58,19 @@ def make_gencast_tx(
     clip_norm: float = 1.0,
     grad_accum_steps: int = 1,
 ):
+    # The schedule advances once per *optimizer* step: under gradient
+    # accumulation optax.MultiSteps steps the inner adamw (and its
+    # schedule count) every k micro-batches, so the micro-step budget
+    # the trainer computes must be converted to optimizer steps — the
+    # reference does the same division
+    # (``src/train_gencast.py:288``: num_training_steps =
+    # epochs * len(loader) // gradient_accumulation_steps).
+    opt_steps = max(1, total_steps // max(1, grad_accum_steps))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=lr,
         warmup_steps=warmup_steps,
-        decay_steps=max(total_steps, warmup_steps + 1),
+        decay_steps=max(opt_steps, warmup_steps + 1),
         end_value=0.0,
     )
     tx = optax.chain(
@@ -256,8 +264,12 @@ def train_gencast(
                 rows.append(eval_step(state.params, batch))
                 if frame_eval_batches and i < frame_eval_batches:
                     frame_rows.append(frame_eval_step(state.params, batch))
-            # One device→host transfer for all eval scores.
-            mat = np.asarray(jnp.stack(rows))  # (n, 2, n_names)
+            # One device→host transfer for all eval scores; an empty
+            # dev split degrades to nan means, not a stack([]) crash.
+            mat = (
+                np.asarray(jnp.stack(rows))
+                if rows else np.zeros((0, 2, len(names)))
+            )  # (n, 2, n_names)
             key = "nmse" if "nmse" in names else task.loss_fn.objective
             ki = names.index(key)
             dev_nmse = float(mat[:, 0, ki].mean())
@@ -351,15 +363,19 @@ def test_gencast(
         rows.append(row)
         n_valid = int(batch["weights"].sum())
         frames.append((frame, n_valid))
-    mat = np.asarray(jnp.stack(rows))
+    mat = (
+        np.asarray(jnp.stack(rows))
+        if rows else np.zeros((0, 2, len(names)))
+    )
     scores = {"mean": {}, "all": {}}
     for j, k in enumerate(names):
         scores["mean"][k] = float(mat[:, 0, j].mean())
         scores["mean"][f"input_{k}"] = float(mat[:, 1, j].mean())
         scores["all"][k] = mat[:, 0, j].tolist()
     dump_json(scores, output_dir / "scores.json")
-    preds = np.concatenate(
-        [np.asarray(f)[:nv] for f, nv in frames]
+    preds = (
+        np.concatenate([np.asarray(f)[:nv] for f, nv in frames])
+        if frames else np.zeros((0,))
     )
     np.save(output_dir / "preds.npy", preds)
     return scores

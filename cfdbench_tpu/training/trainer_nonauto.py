@@ -165,7 +165,12 @@ def evaluate(
         if collect_preds:
             all_preds.append(preds)
         n_batches += 1
-    mat = np.asarray(jnp.stack(score_rows))  # single device→host sync
+    # Single device→host sync; empty split (no frames after filtering)
+    # yields empty score lists instead of a stack([]) crash.
+    mat = (
+        np.asarray(jnp.stack(score_rows))
+        if score_rows else np.zeros((0, len(names)))
+    )
     if measure_time:
         dt = 1000 * (time.time() - start) / max(n_batches, 1)
         print(f"Time per step: {dt:.3f} ms")
@@ -205,7 +210,7 @@ def train(
     (params / optimizer moments / step + epoch) when present — same
     full-state resume contract as the auto trainer (the reference's
     main trainers can only restart from scratch, SURVEY.md §5)."""
-    from .optim import make_adam
+    from .optim import make_adam, step_lr_schedule
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -215,9 +220,10 @@ def train(
         lr, gamma=lr_gamma, lr_step_size=lr_step_size,
         steps_per_epoch=steps_per_epoch,
     )
-    lr_schedule = lambda step: lr * lr_gamma ** (  # noqa: E731
-        (step // steps_per_epoch) // lr_step_size
-    )
+    # Display-only; same function that drives the optimizer in
+    # make_adam, so logs can't diverge from the applied lr.
+    lr_schedule = step_lr_schedule(lr, lr_gamma, lr_step_size,
+                                   steps_per_epoch)
     arrays = dataset_arrays(train_data)
     sample = next(iter(batches(arrays, batch_size, shuffle=False)))
     params = task.init_params(jax.random.PRNGKey(seed), sample)

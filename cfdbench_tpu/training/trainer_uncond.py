@@ -11,6 +11,7 @@ to the CFDBench datasets.
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Any, NamedTuple
@@ -76,12 +77,19 @@ def train_uncond_ddpm(
         from ..parallel.sharding_rules import shard_params
 
         params = shard_params(params, mesh)
+    # The EMA shadow starts equal to params but must be a *distinct*
+    # buffer: the donated train step would otherwise donate the same
+    # buffer twice on the first call.
     state = UncondState(
-        params, params, tx.init(params), jnp.zeros((), jnp.int32)
+        params, jax.tree.map(jnp.copy, params), tx.init(params),
+        jnp.zeros((), jnp.int32),
     )
     base_rng = jax.random.PRNGKey(seed + 99)
 
-    @jax.jit
+    # Donate the carried state (params + EMA shadow + adamw mu/nu —
+    # 4× the UNet param bytes) so XLA updates it in place instead of
+    # double-buffering, like every other trainer's step.
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: UncondState, x, w):
         rng = jax.random.fold_in(base_rng, state.step)
         nkey, tkey, dkey = jax.random.split(rng, 3)

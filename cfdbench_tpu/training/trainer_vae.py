@@ -10,6 +10,7 @@ KL-weight annealing over ``vae_kl_annealing_epochs``.
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Any, NamedTuple
@@ -50,7 +51,9 @@ def make_steps(vae: AutoencoderKL, tx, seed: int):
         kl_loss = _wmean(posterior.kl(), w)
         return recon_loss + kl_weight * kl_loss, (recon_loss, kl_loss)
 
-    @jax.jit
+    # Donate the carried state (params + Adam moments) — in-place
+    # update instead of double-buffering, like the other trainers.
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: VaeState, frames, w, kl_weight):
         rng = jax.random.fold_in(base_rng, state.step)
 
@@ -211,8 +214,10 @@ def train_vae(
             for j, k in enumerate(("total", "recon", "kl")):
                 history[f"train_{k}"] += ep_mat[:, j].tolist()
 
-        # validation (mean latent)
-        vals = {"total": [], "recon": [], "kl": []}
+        # validation (mean latent) — per-batch losses stay on device,
+        # one stacked transfer after the loop (host syncs cost ~28 ms
+        # on this backend; see trainer_auto.evaluate).
+        val_rows = []
         for batch in batches(
             dict(frames=dev_data.frames), batch_size, shuffle=False,
             pad_multiple=pad_mult,
@@ -221,8 +226,17 @@ def train_vae(
             losses = eval_step(
                 state.params, batch["frames"], batch["weights"], w
             )
-            for k in vals:
-                vals[k].append(float(losses[k]))
+            val_rows.append(
+                jnp.stack([losses[k] for k in ("total", "recon", "kl")])
+            )
+        val_mat = (
+            np.asarray(jnp.stack(val_rows))
+            if val_rows else np.zeros((0, 3))
+        )  # (B, 3)
+        vals = {
+            k: val_mat[:, j]
+            for j, k in enumerate(("total", "recon", "kl"))
+        }
         val_total = float(np.mean(vals["total"]))
         for k in vals:
             history[f"val_{k}"].append(float(np.mean(vals[k])))

@@ -22,6 +22,37 @@ def test_step_lr_matches_steplr():
     assert got == expected
 
 
+def test_make_adam_schedule_under_grad_accum():
+    """Under gradient accumulation the staircase must decay on *epoch*
+    boundaries: optax.MultiSteps advances the inner schedule once per
+    optimizer step (every k micro-batches), so make_adam converts
+    steps_per_epoch to optimizer-step units (round-4 review; the
+    reference divides the same way, ``src/train_gencast.py:288``)."""
+    import optax
+
+    from cfdbench_tpu.training.optim import make_adam
+
+    # 4 micro-steps/epoch, k=2 → 2 optimizer steps/epoch; lr halves
+    # each epoch, so applied lrs per opt step are 1, 1, 0.5, 0.5.
+    tx = make_adam(1.0, gamma=0.5, lr_step_size=1, steps_per_epoch=4,
+                   grad_accum_steps=2)
+    params = {"w": jnp.zeros(())}
+    opt = tx.init(params)
+    grads = {"w": jnp.ones(())}
+    seen = []
+    prev = params["w"]
+    for _ in range(8):  # 8 micro-steps = 4 optimizer steps
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        delta = float(abs(params["w"] - prev))
+        if delta > 0:  # an optimizer step actually applied
+            seen.append(delta)
+        prev = params["w"]
+    # Adam's normalized update ≈ lr for constant grads.
+    assert len(seen) == 4
+    np.testing.assert_allclose(seen, [1.0, 1.0, 0.5, 0.5], rtol=1e-2)
+
+
 def test_adam_opt_state_variants():
     """The reduced-optimizer-traffic Adam variants (bf16 moment state,
     adafactor) track stock Adam on a quadratic: same trajectory to
@@ -88,6 +119,28 @@ def test_params_roundtrip(tmp_path):
     loaded = checkpoints.load_params(template, tmp_path / "ckpt-0")
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_interrupted_save_falls_back_to_backup(tmp_path):
+    """save_params rotates crash-safely: a kill after the rotation but
+    before/through the rename leaves backup_model intact, and
+    load_params restores from it instead of crashing (round-4 review:
+    the old order renamed the live dir away before the new save)."""
+    import shutil
+
+    d = tmp_path / "ckpt-0"
+    old = {"params": {"w": jnp.ones((3,))}}
+    new = {"params": {"w": 2.0 * jnp.ones((3,))}}
+    checkpoints.save_params(old, d)
+    checkpoints.save_params(new, d)  # rotates old -> backup_model
+    assert (d / "backup_model").exists()
+    # Simulate a kill mid-rotation: live model dir gone, backup intact.
+    shutil.rmtree(d / "model")
+    template = jax.tree.map(jnp.zeros_like, old)
+    loaded = checkpoints.load_params(template, d)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["w"]), np.ones((3,))
+    )
 
 
 def test_rollout_include_initial():
