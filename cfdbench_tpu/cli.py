@@ -378,7 +378,10 @@ def main_multistep(argv=None) -> None:
     case_params = np.stack(
         [
             np.asarray(
-                [v for k, v in p.items() if k not in ("rotated", "dx", "dy")],
+                [
+                    v for k, v in p.items()
+                    if k not in ("rotated", "dx", "dy", "__normalized__")
+                ],
                 dtype=np.float32,
             )
             for p in test_data.case_params_list

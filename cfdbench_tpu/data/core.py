@@ -88,7 +88,10 @@ def params_to_vector(case_params: Dict[str, float]) -> np.ndarray:
     Mirrors the auto collate_fn (``src/train_auto.py:44-51``) and
     ``case_params_to_tensor`` (``src/test_multistep.py:85-92``).
     """
-    keys = [k for k in case_params.keys() if k not in ("rotated", "dx", "dy")]
+    keys = [
+        k for k in case_params.keys()
+        if k not in ("rotated", "dx", "dy", "__normalized__")
+    ]
     return np.asarray([case_params[k] for k in keys], dtype=np.float32)
 
 
@@ -121,12 +124,13 @@ def load_case_cavity(case_dir: Path) -> CaseData:
 
 
 def _pad_tube_like(u, v, mask, left_u_value):
-    """Left column = BC, then top+bottom rows = 0 (tube/dam padding)."""
+    """Left column = BC, then top+bottom rows = 0 (tube/dam padding).
+
+    ``left_u_value``: scalar (tube: vel_in) or per-(T,H) array (dam:
+    velocity below the barrier top only) — numpy broadcasting handles
+    both."""
     u = np.pad(u, ((0, 0), (0, 0), (1, 0)), constant_values=0)
-    if np.ndim(left_u_value) == 0:
-        u[:, :, 0] = left_u_value
-    else:  # per-row values (dam: velocity only below barrier top)
-        u[:, :, 0] = left_u_value
+    u[:, :, 0] = left_u_value
     v = np.pad(v, ((0, 0), (0, 0), (1, 0)), constant_values=0)
     mask = np.pad(mask, ((0, 0), (0, 0), (1, 0)), constant_values=0)
     u = np.pad(u, ((0, 0), (1, 1), (0, 0)), constant_values=0)
@@ -165,13 +169,7 @@ def load_case_dam(case_dir: Path, fix_barrier_mask: bool = False) -> CaseData:
     T, H, W = u.shape
     left_col = np.zeros((T, H), dtype=u.dtype)
     left_col[:, :barrier_top_idx] = params["velocity"]
-    u = np.pad(u, ((0, 0), (0, 0), (1, 0)), constant_values=0)
-    u[:, :, 0] = left_col
-    v = np.pad(v, ((0, 0), (0, 0), (1, 0)), constant_values=0)
-    mask = np.pad(mask, ((0, 0), (0, 0), (1, 0)), constant_values=0)
-    u = np.pad(u, ((0, 0), (1, 1), (0, 0)), constant_values=0)
-    v = np.pad(v, ((0, 0), (1, 1), (0, 0)), constant_values=0)
-    mask = np.pad(mask, ((0, 0), (1, 1), (0, 0)), constant_values=0)
+    u, v, mask = _pad_tube_like(u, v, mask, left_col)
 
     # Params filtered to 5 keys (dam.py:108-109).
     keep = ["velocity", "density", "viscosity", "height", "width"]
@@ -230,10 +228,17 @@ def load_case(problem: str, case_dir: Path, **kwargs) -> CaseData:
 
 def normalize_case_params(problem: str, params: dict, norm_props: bool,
                           norm_bc: bool) -> None:
+    # Normalization mutates in place and datasets alias these dicts —
+    # the flag makes a second pass (silent double z-scoring) an error
+    # (checked in load_case and here).
+    if params.get("__normalized__"):
+        raise ValueError("case params already normalized")
     if norm_props:
         normalize_physics_props(params)
     if norm_bc:
         normalize_bc(params, BC_KEY[problem])
+    if norm_props or norm_bc:
+        params["__normalized__"] = True
 
 
 def collect_case_dirs(problem_dir: Path, subsets: str) -> List[Path]:

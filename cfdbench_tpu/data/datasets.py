@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .fast_io import prefetch_case_uv
+from .fast_io import clear_cache, prefetch_case_uv
 from .core import (
     DATA_DELTA_TIME,
     CaseData,
@@ -66,7 +66,14 @@ class _ChunkPrefetcher:
             fut.result()
 
     def close(self) -> None:
-        self._pool.shutdown(wait=False)
+        # Cancel what hasn't started, wait out the (single, bounded)
+        # in-flight read, then drop unconsumed cache entries — a build
+        # that fails mid-pack must not leak a chunk of raw case arrays
+        # into the process-global consume-on-read cache.
+        for fut in self._pending.values():
+            fut.cancel()
+        self._pool.shutdown(wait=True)
+        clear_cache()
 
 
 @dataclass
@@ -142,7 +149,9 @@ class FrameDataset:
         (``src/dataset/cavity.py:180-196``): global point index →
         (case_params, query (t, x, y), u value). Index layout matches
         the reference: idx // (h·w) selects the frame, the remainder is
-        row-major within the frame with x=row, y=col.
+        row-major within the frame — y = pix // w is the ROW, x =
+        pix % w is the COLUMN (the reference's convention; note x is
+        the fast axis).
         """
         h, w = self.field_shape
         num_pixels = h * w
@@ -200,11 +209,25 @@ def build_auto_dataset(
     if cache_dir is not None:
         import hashlib
 
+        def _sig(d):
+            # Dir path + newest mtime of its contents: regenerating
+            # case data in place invalidates the key. Ordering is
+            # preserved — case_ids/all_features encode it.
+            d = Path(d)
+            try:
+                mt = max(
+                    (p.stat().st_mtime_ns for p in d.iterdir()),
+                    default=d.stat().st_mtime_ns,
+                )
+            except OSError:
+                mt = 0
+            return (str(d), mt)
+
         key = hashlib.sha1(
             repr(
                 (
                     problem,
-                    sorted(str(d) for d in case_dirs),
+                    [_sig(d) for d in case_dirs],
                     norm_props,
                     norm_bc,
                     delta_time,

@@ -18,21 +18,39 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def torch_kernel_init(dtype=jnp.float32):
+def num_groups_for(groups: int, channels: int) -> int:
+    """Largest divisor of ``channels`` that is <= ``groups`` — the
+    GroupNorm group-count rule shared by the PUNetG and VAE stacks
+    (diffusers picks 32 and requires divisibility; these models accept
+    any channel count)."""
+    g = min(groups, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+def torch_kernel_init(dtype=jnp.float32, fan_in=None):
     """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Linear/Conv2d default
-    (kaiming_uniform with a=sqrt(5))."""
+    (kaiming_uniform with a=sqrt(5)).
+
+    ``fan_in`` overrides the shape-derived value — needed for
+    ConvTranspose, where torch computes fan_in from ``weight.size(1)``
+    (= out_ch·kh·kw, its weight layout being (in, out, kh, kw)) while
+    the flax kernel is (kh, kw, in, out)."""
 
     def init(key, shape, dtype=dtype):
         # Dense kernels are (fan_in, fan_out); conv kernels are
         # (kh, kw, in_ch, out_ch) → fan_in = kh*kw*in_ch.
-        if len(shape) == 2:
-            fan_in = shape[0]
+        if fan_in is not None:
+            f = fan_in
+        elif len(shape) == 2:
+            f = shape[0]
         else:
             receptive = 1
             for s in shape[:-2]:
                 receptive *= s
-            fan_in = shape[-2] * receptive
-        bound = fan_in ** -0.5
+            f = shape[-2] * receptive
+        bound = f ** -0.5
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init

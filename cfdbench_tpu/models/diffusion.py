@@ -101,6 +101,36 @@ class _DiffusionTaskBase:
         )
         return noise, t
 
+    # The frozen VAE downsamples by 8; its floor-chain and the Lite
+    # cond encoder's ceil-chain disagree on odd dims (tube/dam fields
+    # are 66x65), so the latent family operates on fields zero-padded
+    # up to a multiple of 8 and crops the decode back to the grid.
+    _vae_factor = 8
+
+    def _pad_field(self, x):
+        f = self._vae_factor
+        ph = (-x.shape[1]) % f
+        pw = (-x.shape[2]) % f
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return x
+
+    def _latent_shape(self, inputs):
+        """Latent sampling shape for the frozen VAE on the padded grid,
+        from the encoder itself (BOTH spatial axes — a square H//8
+        guess diverges from the latents the UNet saw in training).
+        Traced shapes only — free under jit."""
+        post = jax.eval_shape(
+            lambda x: self.vae.apply(
+                {"params": self.vae_params},
+                self._pad_field(x), method=self.vae.encode,
+            ),
+            jax.ShapeDtypeStruct(
+                inputs[..., : self.out_chan].shape, jnp.float32
+            ),
+        )
+        return post.mean.shape
+
 
 class PixelDiffusionCfdModel(_DiffusionTaskBase):
     def __init__(
@@ -147,7 +177,10 @@ class PixelDiffusionCfdModel(_DiffusionTaskBase):
         label = batch["labels"][..., : self.out_chan]
         noise, t = self._sample_noise_and_t(rng, label)
         noisy = self.scheduler.add_noise(label, noise, t)
-        rng, drop = jax.random.split(rng)
+        # fold_in, not split: split(rng) would return exactly the
+        # (nkey, tkey) pair _sample_noise_and_t already consumed, making
+        # the dropout key bit-identical to the timestep key.
+        drop = jax.random.fold_in(rng, 0x64726F70)  # "drop"
 
         def unet_fwd(p, noisy_, t_, cp_, drop_):
             return self.unet.apply(
@@ -247,7 +280,9 @@ class GenCastCfdModel(_DiffusionTaskBase):
         noise, t = self._sample_noise_and_t(rng, norm_res)
         noisy = self.scheduler.add_noise(norm_res, noise, t)
         unet_in = jnp.concatenate([noisy, inputs, prev], axis=-1)
-        rng, drop = jax.random.split(rng)
+        # fold_in for the same reason as PixelDiffusion.loss_scores:
+        # split(rng) here would alias the timestep key.
+        drop = jax.random.fold_in(rng, 0x64726F70)  # "drop"
 
         def unet_fwd(p, x_, t_, cp_, drop_):
             return self.unet.apply(
@@ -364,8 +399,9 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
 
     def init_variables(self, rng, sample_batch):
         b = sample_batch["inputs"].shape[0]
-        h = sample_batch["inputs"].shape[1]
-        latent_h = h // 8
+        h, w = sample_batch["inputs"].shape[1:3]
+        f = self._vae_factor
+        latent_h, latent_w = -(-h // f), -(-w // f)  # padded grid / 8
         tokens = self._context_tokens(
             jnp.asarray(sample_batch["inputs"]),
             jnp.asarray(sample_batch["case_params"]),
@@ -375,7 +411,7 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
         ctx = self.context_proj.apply(proj_vs, tokens)
         unet_vs = self.unet.init(
             r2,
-            jnp.zeros((b, latent_h, latent_h, self.latent_dim)),
+            jnp.zeros((b, latent_h, latent_w, self.latent_dim)),
             jnp.zeros((b,), jnp.int32),
             sample_batch["case_params"],
             context=ctx,
@@ -400,7 +436,7 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rng, vkey = jax.random.split(rng)
-        label = batch["labels"][..., : self.out_chan]
+        label = self._pad_field(batch["labels"][..., : self.out_chan])
         posterior = self.vae.apply(
             {"params": self.vae_params}, label, method=self.vae.encode
         )
@@ -426,8 +462,7 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
                       model_state=None, rng=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        B, H = inputs.shape[0], inputs.shape[1]
-        latent_h = H // 8
+        lat_shape = self._latent_shape(inputs)
         ctx = self._context(params, inputs, case_params)
 
         def denoise(x, t):
@@ -437,8 +472,7 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
             )
 
         latents = ddpm_sample(
-            self.scheduler, denoise,
-            (B, latent_h, latent_h, self.latent_dim), rng,
+            self.scheduler, denoise, lat_shape, rng,
             self.num_inference_steps,
         )
         frame = self.vae.apply(
@@ -446,6 +480,10 @@ class LatentDiffusionCfdModel(_DiffusionTaskBase):
             latents / self.scaling_factor,
             method=self.vae.decode,
         )
+        # The decoder reconstructs to the next multiple of the VAE's
+        # downsample factor; crop back to the field dims (tube/dam are
+        # 66x65) so masking/metrics see the original grid.
+        frame = frame[:, : inputs.shape[1], : inputs.shape[2], :]
         if mask is not None:
             frame = frame * mask
         return frame
@@ -472,15 +510,16 @@ class LatentDiffusionCfdModel2(LatentDiffusionCfdModel):
 
     def init_variables(self, rng, sample_batch):
         b = sample_batch["inputs"].shape[0]
-        h = sample_batch["inputs"].shape[1]
-        latent_h = h // 8
+        h, w = sample_batch["inputs"].shape[1:3]
+        f = self._vae_factor
+        latent_h, latent_w = -(-h // f), -(-w // f)  # padded grid / 8
         tokens = self._context_tokens(
             jnp.asarray(sample_batch["inputs"]),
             jnp.asarray(sample_batch["case_params"]),
         )
         unet_vs = self.unet.init(
             rng,
-            jnp.zeros((b, latent_h, latent_h, self.latent_dim)),
+            jnp.zeros((b, latent_h, latent_w, self.latent_dim)),
             jnp.zeros((b,), jnp.int32),
             sample_batch["case_params"],
             context=tokens,
@@ -557,17 +596,18 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
 
     def init_variables(self, rng, sample_batch):
         b = sample_batch["inputs"].shape[0]
-        h = sample_batch["inputs"].shape[1]
+        h, w = sample_batch["inputs"].shape[1:3]
+        f = self._vae_factor
+        latent_h, latent_w = -(-h // f), -(-w // f)  # padded grid / 8
         r1, r2 = jax.random.split(rng)
-        latent_h = h // 8
         cond_vs = self.cond_encoder.init(
             r1,
-            sample_batch["inputs"][..., : self.in_chan],
+            self._pad_field(sample_batch["inputs"][..., : self.in_chan]),
             sample_batch["case_params"],
         )
         unet_vs = self.unet.init(
             r2,
-            jnp.zeros((b, latent_h, latent_h, self.latent_dim)),
+            jnp.zeros((b, latent_h, latent_w, self.latent_dim)),
             jnp.zeros((b,), jnp.int32),
             sample_batch["case_params"],
         )
@@ -582,7 +622,7 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rng, vkey = jax.random.split(rng)
-        label = batch["labels"][..., : self.out_chan]
+        label = self._pad_field(batch["labels"][..., : self.out_chan])
         posterior = self.vae.apply(
             {"params": self.vae_params}, label, method=self.vae.encode
         )
@@ -594,7 +634,7 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
         noisy = self.scheduler.add_noise(latents, noise, t)
         cond = self.cond_encoder.apply(
             {"params": params["cond_encoder"]},
-            batch["inputs"][..., : self.in_chan],
+            self._pad_field(batch["inputs"][..., : self.in_chan]),
             batch["case_params"],
         )
         eps = self.unet.apply(
@@ -611,11 +651,10 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
                       model_state=None, rng=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        B, H = inputs.shape[0], inputs.shape[1]
-        latent_h = H // 8
+        lat_shape = self._latent_shape(inputs)
         cond = self.cond_encoder.apply(
             {"params": params["cond_encoder"]},
-            inputs[..., : self.in_chan], case_params,
+            self._pad_field(inputs[..., : self.in_chan]), case_params,
         )
 
         def denoise(x, t):
@@ -625,8 +664,7 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
             )
 
         latents = ddpm_sample(
-            self.scheduler, denoise,
-            (B, latent_h, latent_h, self.latent_dim), rng,
+            self.scheduler, denoise, lat_shape, rng,
             self.num_inference_steps,
         )
         frame = self.vae.apply(
@@ -634,6 +672,10 @@ class LatentDiffusionCfdModelLite(_DiffusionTaskBase):
             latents / self.scaling_factor,
             method=self.vae.decode,
         )
+        # The decoder reconstructs to the next multiple of the VAE's
+        # downsample factor; crop back to the field dims (tube/dam are
+        # 66x65) so masking/metrics see the original grid.
+        frame = frame[:, : inputs.shape[1], : inputs.shape[2], :]
         if mask is not None:
             frame = frame * mask
         return frame

@@ -26,14 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .common import Conv, Dense
+from .common import Conv, Dense, num_groups_for
 
 
 def _num_groups(groups: int, channels: int) -> int:
-    g = min(groups, channels)
-    while channels % g:
-        g -= 1
-    return g
+    return num_groups_for(groups, channels)
 
 
 def timestep_embedding(timesteps, dim: int):
@@ -169,6 +166,13 @@ class PUNetGCFD(nn.Module):
                 # nearest-neighbor 2x upsample + conv (punetg.py:106-116)
                 C = h.shape[-1]
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                # Odd spatial dims (tube/dam fields are 66x65): the
+                # stride-2 encoder maps W -> ceil(W/2), so a plain 2x
+                # upsample overshoots by one row/col; crop to the
+                # matching skip's shape (standard UNet practice — the
+                # reference only ever ran this UNet on 64x64 latents).
+                sh, sw = skips[-1].shape[1], skips[-1].shape[2]
+                h = h[:, :sh, :sw, :]
                 h = Conv(C, kernel_size=3, padding=1)(h)
             for _ in range(self.num_res_blocks + 1):
                 skip = skips.pop()

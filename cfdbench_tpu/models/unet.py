@@ -60,12 +60,15 @@ class Up(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         in_ch = x1.shape[-1]
-        k = 2 * 2 * in_ch
+        # torch ConvTranspose2d init fan_in = weight.size(1)·kh·kw
+        # = out_ch·4 (NOT in_ch·4 — its weight layout is (in, out,
+        # kh, kw)), for both kernel and bias bounds.
+        k = 2 * 2 * (in_ch // 2)
         x1 = nn.ConvTranspose(
             in_ch // 2,
             (2, 2),
             strides=(2, 2),
-            kernel_init=torch_kernel_init(),
+            kernel_init=torch_kernel_init(fan_in=k),
             bias_init=torch_bias_init(k),
         )(x1)
         dh = x2.shape[1] - x1.shape[1]

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import Conv, Dense
+from .common import Conv, Dense, num_groups_for
 
 
 class DiagonalGaussian(NamedTuple):
@@ -48,10 +48,9 @@ class DiagonalGaussian(NamedTuple):
 
 
 def _gn(ch, groups=32):
-    g = min(groups, ch)
-    while ch % g:
-        g -= 1
-    return nn.GroupNorm(num_groups=g, epsilon=1e-6)
+    return nn.GroupNorm(
+        num_groups=num_groups_for(groups, ch), epsilon=1e-6
+    )
 
 
 class VaeResBlock(nn.Module):
