@@ -108,7 +108,8 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
         from .training.checkpoints import load_params
 
         vae = make_cfd_vae(
-            "lite", args.out_chan, args.out_chan, args.ldm_latent_dim
+            args.vae_variant, args.out_chan, args.out_chan,
+            args.ldm_latent_dim,
         )
         # Abstract template (shapes only): eager full-size VAE init is
         # minutes of op-by-op dispatch; restore only needs structure.
@@ -189,8 +190,8 @@ def main_auto(argv=None) -> None:
     args.save(output_dir / "args.json")
 
     print("Loading data...")
-    splits = ["train", "dev", "test"] if "train" in args.mode else ["test"]
-    if "test" in args.mode and "test" not in splits:
+    splits = ["train", "dev"] if "train" in args.mode else []
+    if "test" in args.mode:
         splits.append("test")
     train_data, dev_data, test_data = get_auto_dataset(
         data_dir=Path(args.data_dir),
@@ -375,15 +376,11 @@ def main_multistep(argv=None) -> None:
     )
     infer_steps = 20
     features = pad_case_features(test_data.all_features, infer_steps)
+    from .data.core import params_to_vector
+
     case_params = np.stack(
         [
-            np.asarray(
-                [
-                    v for k, v in p.items()
-                    if k not in ("rotated", "dx", "dy", "__normalized__")
-                ],
-                dtype=np.float32,
-            )
+            params_to_vector(p)
             for p in test_data.case_params_list
         ]
     )
@@ -496,8 +493,9 @@ def main_multistep(argv=None) -> None:
 
         fb = task.feedback_channels
         roll_frame0, roll_cp, roll_mask = frame0, case_params, mask
+        pallas_head_active = args.use_pallas_head and args.model == "fno"
         if args.rollout_dtype == "bfloat16" and (
-            getattr(task, "generative", False) or args.use_pallas_head
+            getattr(task, "generative", False) or pallas_head_active
         ):
             print(
                 "[multistep] --rollout_dtype bfloat16 ignored: "
@@ -507,7 +505,7 @@ def main_multistep(argv=None) -> None:
         if (
             args.rollout_dtype == "bfloat16"
             and not getattr(task, "generative", False)
-            and not args.use_pallas_head
+            and not pallas_head_active
         ):
             # bf16-storage rollout: cast params/state/inputs once; the
             # scan then carries bf16 frames (halves HBM traffic on the
@@ -580,6 +578,7 @@ def main_vae(argv=None) -> None:
     from .training.trainer_vae import train_vae
 
     args = Args.parse_args(argv)
+    _apply_runtime_flags(args)
     print(args)
     train_data, dev_data, _ = get_auto_dataset(
         data_dir=Path(args.data_dir),
@@ -589,6 +588,7 @@ def main_vae(argv=None) -> None:
         norm_bc=bool(args.norm_bc),
         load_splits=["train", "dev"],
         seed=args.seed,
+        cache_dir=args.cache_dir or None,
     )
     vae_train = build_vae_dataset(train_data)
     vae_dev = build_vae_dataset(dev_data)
@@ -646,6 +646,7 @@ def main_gencast(argv=None) -> None:
     from .training.trainer_gencast import test_gencast, train_gencast
 
     args = Args.parse_args(argv)
+    _apply_runtime_flags(args)
     print(args)
     splits = ["train", "dev"]
     if "test" in args.mode:
@@ -658,6 +659,7 @@ def main_gencast(argv=None) -> None:
         norm_bc=bool(args.norm_bc),
         load_splits=splits,
         seed=args.seed,
+        cache_dir=args.cache_dir or None,
     )
     gc_train = wrap_gencast(train_data)
     gc_dev = wrap_gencast(dev_data)

@@ -24,6 +24,17 @@ from pathlib import Path
 from typing import List, Tuple
 
 
+def _parse_bool(s: str) -> bool:
+    v = s.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"{s!r} is not a boolean (use 1/0, true/false, yes/no, on/off)"
+    )
+
+
 @dataclass
 class Args:
     # --- 1. general ---
@@ -243,8 +254,11 @@ class Args:
             if isinstance(default, dataclasses._MISSING_TYPE):
                 default = f.default_factory()  # type: ignore[misc]
             if isinstance(default, bool):
+                # Bare `--flag` means True; an explicit value must be a
+                # recognized boolean literal — an unknown string (e.g. a
+                # typo like "ture") is an error, never a silent False.
                 parser.add_argument(
-                    name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                    name, type=_parse_bool, nargs="?", const=True,
                     default=default,
                 )
             elif isinstance(default, tuple):

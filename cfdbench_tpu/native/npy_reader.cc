@@ -14,8 +14,10 @@
 //
 // Build: g++ -O2 -shared -fPIC -pthread (driven from Python, cached).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstdio>
 #include <cstring>
 #include <string>

@@ -34,6 +34,12 @@ def main(argv=None) -> None:
     from cfdbench_tpu.utils.export import export_predict, export_rollout
 
     args = Args.parse_args(argv)
+    # Same runtime knobs as the trainers: the exported artifact bakes
+    # in --spectral_backend / --matmul_precision, and the compile
+    # cache saves the 1-2 min tunnel compile on re-export.
+    from cfdbench_tpu.cli import _apply_runtime_flags
+
+    _apply_runtime_flags(args)
     _, _, test_data = get_auto_dataset(
         data_dir=Path(args.data_dir),
         data_name=args.data_name,
@@ -42,6 +48,7 @@ def main(argv=None) -> None:
         norm_bc=bool(args.norm_bc),
         load_splits=["test"],
         seed=args.seed,
+        cache_dir=args.cache_dir or None,
     )
     H, W = test_data.field_shape
     P = test_data.n_case_params

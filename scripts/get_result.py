@@ -47,7 +47,9 @@ def main():
     for r in rows:
         vals = [str(r.get(k, "")) for k in keys]
         vals += [
-            f"{r[k]:.6e}" if isinstance(r.get(k), float) else ""
+            f"{r[k]:.6e}"
+            if isinstance(r.get(k), (int, float))
+            and not isinstance(r.get(k), bool) else ""
             for k in metric_keys
         ]
         print("\t".join(vals))

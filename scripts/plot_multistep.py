@@ -38,10 +38,13 @@ def main():
 
     found = 0
     for metrics_file in sorted(result_dir.rglob("multistep_metrics.json")):
-        if data_name not in str(metrics_file):
-            continue
         # .../(auto|non-auto)/<data>/dt*/<model>/<hparams>/...
         parts = metrics_file.relative_to(result_dir).parts
+        # Exact component match: a substring test would also sweep in
+        # superset-named datasets (cavity_prop matching
+        # cavity_prop_bc_geo) and stray path fragments.
+        if len(parts) < 2 or parts[1] != data_name:
+            continue
         model = parts[3] if len(parts) >= 4 else metrics_file.parent.name
         with open(metrics_file) as f:
             metrics = json.load(f)
