@@ -45,6 +45,19 @@ def grid_coords(params, H, W):
     return x, y, dx, dy
 
 
+def interior_vel_minimum(vel_mag, margin):
+    """(i, j) of the interior |vel| minimum with boundaries excluded,
+    or None for an empty interior — the cylinder-center detector shared
+    with find_cylinder_centers.py."""
+    H, W = vel_mag.shape
+    m = min(margin, max(0, min(H, W) // 2 - 1))
+    interior = vel_mag[m:H - m or None, m:W - m or None]
+    if not interior.size:
+        return None
+    ii, jj = np.unravel_index(np.nanargmin(interior), interior.shape)
+    return ii + m, jj + m
+
+
 def analyze_flow_pattern(case_dir, t_idx=None, u_threshold=0.05,
                          wake_std_threshold=0.3, interior_margin=5):
     """Run the four detectors on one case; returns a summary dict."""
@@ -55,7 +68,15 @@ def analyze_flow_pattern(case_dir, t_idx=None, u_threshold=0.05,
         params = json.load(f)
 
     # Developed flow: late timestep (reference uses min(500, T-1)).
-    t = min(500, u.shape[0] - 1) if t_idx is None else t_idx
+    if t_idx is None:
+        t = min(500, u.shape[0] - 1)
+    else:
+        if not 0 <= t_idx < u.shape[0]:
+            raise SystemExit(
+                f"--t_idx {t_idx} out of range: case has "
+                f"{u.shape[0]} frames"
+            )
+        t = t_idx
     u_t, v_t = u[t], v[t]
     H, W = u_t.shape
     x, y, dx, dy = grid_coords(params, H, W)
@@ -99,11 +120,9 @@ def analyze_flow_pattern(case_dir, t_idx=None, u_threshold=0.05,
         )
 
     # 4. Interior |vel| minimum (boundaries excluded).
-    m = min(interior_margin, max(0, min(H, W) // 2 - 1))
-    interior = vel_mag[m:H - m or None, m:W - m or None]
-    if interior.size:
-        ii, jj = np.unravel_index(np.nanargmin(interior), interior.shape)
-        ii, jj = ii + m, jj + m
+    found = interior_vel_minimum(vel_mag, interior_margin)
+    if found is not None:
+        ii, jj = found
         out["interior_min"] = dict(
             i=int(ii), j=int(jj),
             center_x=float(x[jj]), center_y=float(y[ii]),

@@ -22,7 +22,10 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import numpy as np  # noqa: E402
 
-from scripts.analyze_cylinder_position import grid_coords  # noqa: E402
+from scripts.analyze_cylinder_position import (  # noqa: E402
+    grid_coords,
+    interior_vel_minimum,
+)
 
 
 def find_cylinder_center(case_dir, margin=5):
@@ -38,10 +41,7 @@ def find_cylinder_center(case_dir, margin=5):
     H, W = u_t.shape
     x, y, _, _ = grid_coords(params, H, W)
     vel = np.sqrt(u_t**2 + v_t**2)
-    m = min(margin, max(0, min(H, W) // 2 - 1))
-    interior = vel[m:H - m or None, m:W - m or None]
-    i, j = np.unravel_index(np.nanargmin(interior), interior.shape)
-    i, j = i + m, j + m
+    i, j = interior_vel_minimum(vel, margin)
     return dict(
         case=case_dir.name,
         center_x=float(x[j]), center_y=float(y[i]),

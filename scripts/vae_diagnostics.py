@@ -20,6 +20,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax  # noqa: E402
+
+# Diagnostics are a host-side tool: stay off the tunneled TPU plugin
+# (eager VAE init is minutes of op-by-op dispatch there, and the
+# backend wedges after a few large compiles — CLAUDE.md).
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -86,7 +92,12 @@ def write_diagnostics(vae, params, frames, out_dir, n_traversal_steps=7,
         collapsed_dims=[int(i) for i, k in enumerate(kl_dims) if k < 0.01],
         latent_mean=float(mean.mean()),
         latent_std=float(mean.std()),
-        scaling_factor=float(1.0 / mean.std()),
+        # A fully-collapsed posterior (identical means — the pathology
+        # this tool diagnoses) has std 0: report null, not Infinity
+        # (json.dump would emit non-spec `Infinity`).
+        scaling_factor=(
+            float(1.0 / mean.std()) if float(mean.std()) > 0 else None
+        ),
     )
 
     # 2-D embedding of latent means (t-SNE or PCA).
@@ -207,12 +218,29 @@ def main():
         norm_bc=bool(args.norm_bc),
         load_splits=["dev"],
         seed=args.seed,
+        cache_dir=args.cache_dir or None,
     )
     frames = build_vae_dataset(dev).frames[:256]
 
-    vae = make_cfd_vae("lite", 2, 2, args.ldm_latent_dim)
-    template = dict(
-        vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2)), rng=None)
+    # Same variant/shape flags the trainer honors (cli.py main_vae) —
+    # a v2- or custom-trained checkpoint restores into the right tree.
+    vae = make_cfd_vae(
+        args.vae_variant, 2, 2,
+        args.z_channels if args.vae_variant == "custom"
+        else args.ldm_latent_dim,
+        ch=args.ch,
+        ch_mult=tuple(args.ch_mult),
+        num_res_blocks=args.num_res_blocks,
+    )
+    # Abstract template (shapes only): restore needs structure, not an
+    # eager init (cli.py:make_auto_task uses the same pattern).
+    template = jax.eval_shape(
+        lambda: dict(
+            vae.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2)),
+                rng=None,
+            )
+        )
     )
     params = dict(
         load_params(template, Path(args.ldm_vae_weights_path))
@@ -227,9 +255,10 @@ def main():
         f"latent mean stats: mean={summary['latent_mean']:.4f} "
         f"std={summary['latent_std']:.4f}"
     )
+    sf = summary["scaling_factor"]
     print(
-        f"suggested scaling_factor = 1/std = "
-        f"{summary['scaling_factor']:.4f}"
+        "suggested scaling_factor = 1/std = "
+        + (f"{sf:.4f}" if sf is not None else "undefined (collapsed)")
     )
     print(f"plots + diagnostics.json written to {out_dir} "
           f"(embedding: {summary['embedding_method']})")
