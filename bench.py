@@ -306,10 +306,13 @@ def worker_rollout_pallas(batch, steps=20, batch_tile=1):
     return out
 
 
-def _analytic_fno_forward_flops(batch):
-    """Matmul FLOPs of one flagship-FNO forward (packed spectral path),
-    per batch; fallback when XLA cost analysis is unavailable."""
-    h, w, c = FLAGSHIP["h"], FLAGSHIP["w"], FLAGSHIP["hidden"]
+def _analytic_fno_forward_flops(batch, hidden=None):
+    """Matmul FLOPs of one FNO forward (packed spectral path) at the
+    flagship grid/modes/depth, per batch; fallback when XLA cost
+    analysis is unavailable. ``hidden`` must match the worker's width
+    override — the channel-mixing terms scale with its square."""
+    h, w = FLAGSHIP["h"], FLAGSHIP["w"]
+    c = hidden or FLAGSHIP["hidden"]
     m = FLAGSHIP["modes"]
     hw = h * w
     fc0 = 2 * hw * 10 * c
@@ -379,7 +382,7 @@ def worker_train_step(batch, iters=16, hidden=None, mixed=True,
     if not flops and model == "fno":
         # fwd + ~2x for bwd (the analytic formula is FNO-specific;
         # other models report no MFU when XLA cost analysis fails)
-        flops = 3.0 * _analytic_fno_forward_flops(batch)
+        flops = 3.0 * _analytic_fno_forward_flops(batch, hidden=hidden)
 
     def run(n):
         nonlocal task_state
@@ -776,7 +779,12 @@ class BenchRun:
                   flush=True)
             return None
         out = self._run_once(spec, timeout)
-        if out is None and retry and self.remaining() > MIN_WORKER_SEC:
+        # The retry honors the same est guard as the first attempt — a
+        # crashed expensive worker must not burn the tail workers'
+        # remaining budget on a doomed re-run.
+        if out is None and retry and self.remaining() > max(
+            MIN_WORKER_SEC, est or 0.0
+        ):
             print("[bench]   retrying once", file=sys.stderr, flush=True)
             out = self._run_once(spec, timeout)
         self.write_partial()

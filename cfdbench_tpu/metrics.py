@@ -44,6 +44,7 @@ def score_dict(
         mse = jnp.mean(jnp.square(err))
         mae = jnp.mean(jnp.abs(err))
         lab2 = jnp.mean(jnp.square(labels))
+        lab1 = jnp.mean(jnp.abs(labels))
     else:
         w = sample_weights.reshape((-1,) + (1,) * (err.ndim - 1))
         denom = jnp.sum(w) * (err.size // err.shape[0])
@@ -51,9 +52,17 @@ def score_dict(
         mse = jnp.sum(w * jnp.square(err)) / denom
         mae = jnp.sum(w * jnp.abs(err)) / denom
         lab2 = jnp.sum(w * jnp.square(labels)) / denom
+        lab1 = jnp.sum(w * jnp.abs(labels)) / denom
     result = dict(mse=mse, rmse=jnp.sqrt(mse), mae=mae)
     if normalize:
-        result["nmse"] = mse / lab2
+        # The tiny clamp is exact (a no-op bitwise) for any real label
+        # energy; it only fires for an all-padding batch (weights all
+        # zero → 0/0 would poison the device-side epoch stack with NaN).
+        # 1e-30, not 1e-38: XLA flushes subnormal f32 to zero (FTZ), so
+        # a sub-normal tiny would be maximum(0, 0) and guard nothing.
+        tiny = jnp.asarray(1e-30, lab2.dtype)
+        result["nmse"] = mse / jnp.maximum(lab2, tiny)
+        result["nmae"] = mae / jnp.maximum(lab1, tiny)
     return result
 
 
@@ -85,7 +94,13 @@ class LossFn:
         )
 
     def get_score_names(self):
-        return score_names(self.normalize)
+        names = score_names(self.normalize)
+        # The reference's name list never includes nmae (defect #7);
+        # only the nmae objective extends it, so the standard nmse
+        # score contract (mse/rmse/mae/nmse) is untouched.
+        if self.objective == "nmae" and "nmae" not in names:
+            names.append("nmae")
+        return names
 
 
 def loss_name_to_fn(name: str, masked: bool = False) -> LossFn:
@@ -100,5 +115,7 @@ def loss_name_to_fn(name: str, masked: bool = False) -> LossFn:
     if name == "mae":
         return LossFn(normalize=False, objective="mae")
     if name == "nmae":
-        return LossFn(normalize=True, objective="mae")
+        # Truly normalized MAE (mae / mean|labels|) — the reference
+        # advertises nmae but never implements it (defect #7).
+        return LossFn(normalize=True, objective="nmae")
     raise NotImplementedError(f"unknown loss name: {name}")

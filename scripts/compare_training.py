@@ -29,6 +29,29 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 REFERENCE_SRC = Path("/root/reference/src")
 
 
+
+def _collate_reference_auto(batch):
+    """Reference train_auto.py collate (src/train_auto.py:44-51):
+    channel split + case-param key filtering — shared by the FNO-family
+    and auto_deeponet reference loops so the exclusion list cannot
+    drift between them."""
+    import torch
+
+    inputs, labels, case_params = zip(*batch)
+    inputs = torch.stack(inputs)
+    labels = torch.stack(labels)
+    keys = [
+        k for k in case_params[0].keys()
+        if k not in ("rotated", "dx", "dy")
+    ]
+    cp = torch.tensor(
+        [[float(p[k]) for k in keys] for p in case_params]
+    )
+    return dict(
+        inputs=inputs[:, :-1], label=labels[:, :-1],
+        mask=inputs[:, -1:], case_params=cp,
+    )
+
 def make_tree(grid=16):
     sys.path.insert(0, str(REPO_ROOT))
     from cfdbench_tpu.data.synthetic import generate_all
@@ -121,21 +144,7 @@ def train_reference_fno(root, epochs, lr, batch_size, seed=0,
         norm_props=True, norm_bc=True, delta_time=0.1,
     )
 
-    def collate(batch):
-        inputs, labels, case_params = zip(*batch)
-        inputs = torch.stack(inputs)
-        labels = torch.stack(labels)
-        keys = [
-            k for k in case_params[0].keys()
-            if k not in ("rotated", "dx", "dy")
-        ]
-        cp = torch.tensor(
-            [[float(p[k]) for k in keys] for p in case_params]
-        )
-        return dict(
-            inputs=inputs[:, :-1], label=labels[:, :-1],
-            mask=inputs[:, -1:], case_params=cp,
-        )
+    collate = _collate_reference_auto
 
     model = _make_reference_model(model_name, seed, scale)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
@@ -342,21 +351,7 @@ def train_reference_auto_deeponet(root, epochs, lr, batch_size, seed=0):
         norm_props=True, norm_bc=True, delta_time=0.1,
     )
 
-    def collate(batch):
-        inputs, labels, case_params = zip(*batch)
-        inputs = torch.stack(inputs)
-        labels = torch.stack(labels)
-        keys = [
-            k for k in case_params[0].keys()
-            if k not in ("rotated", "dx", "dy")
-        ]
-        cp = torch.tensor(
-            [[float(p[k]) for k in keys] for p in case_params]
-        )
-        return dict(
-            inputs=inputs[:, :-1], label=labels[:, :-1],
-            mask=inputs[:, -1:], case_params=cp,
-        )
+    collate = _collate_reference_auto
 
     torch.manual_seed(seed)
     grid = 16

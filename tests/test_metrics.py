@@ -43,3 +43,23 @@ def test_loss_name_factory():
         "mse", "rmse", "mae", "nmse",
     ]
     assert loss_name_to_fn("mse").get_score_names() == ["mse", "rmse", "mae"]
+
+
+def test_nmae_is_normalized_and_zero_weight_batches_are_finite():
+    """nmae = mae / mean|labels| (the reference advertises nmae but
+    never implements it — defect #7); an all-padding batch (weights
+    all zero) yields finite zeros, not 0/0 NaN (round-4 review)."""
+    rng = np.random.default_rng(3)
+    preds = rng.standard_normal((4, 3, 3)).astype(np.float32)
+    labels = rng.standard_normal((4, 3, 3)).astype(np.float32)
+    fn = loss_name_to_fn("nmae")
+    assert fn.objective == "nmae"
+    assert fn.get_score_names() == ["mse", "rmse", "mae", "nmse", "nmae"]
+    s = fn(preds, labels)
+    expect = np.abs(preds - labels).mean() / np.abs(labels).mean()
+    assert np.isclose(float(s["nmae"]), expect, rtol=1e-6)
+
+    w0 = np.zeros((4,), dtype=np.float32)
+    s0 = score_dict(preds, labels, normalize=True, sample_weights=w0)
+    for k, v in s0.items():
+        assert np.isfinite(float(v)), (k, v)
