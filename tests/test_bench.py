@@ -100,9 +100,6 @@ def test_last_known_good_attachment(tmp_path, monkeypatch):
     # BenchRun installs SIGTERM/SIGINT handlers that os._exit; restore
     # pytest's afterward.
     old = {s: signal.getsignal(s) for s in (signal.SIGTERM, signal.SIGINT)}
-    monkeypatch.setattr(
-        bench, "BenchRun", bench.BenchRun
-    )  # no-op; keeps import explicit
     try:
         _run_last_known_good(tmp_path, monkeypatch, bench)
     finally:
@@ -143,34 +140,39 @@ def _run_last_known_good(tmp_path, monkeypatch, bench):
     assert json.loads(lines[-1])["value"] == 50000.0
 
 
-def test_retry_honors_cost_estimate():
+def test_retry_honors_cost_estimate(tmp_path, monkeypatch):
     """A crashed expensive worker must not retry into a budget too
     small for its cost estimate (round-4 review: the retry only
     checked MIN_WORKER_SEC, reintroducing tail-worker starvation)."""
-    sys.path.insert(0, str(REPO))
     import bench
 
-    br = bench.BenchRun(budget=1000)
-    attempts = []
+    # BenchRun installs SIGTERM/SIGINT handlers that os._exit; restore
+    # pytest's afterward. Partial snapshots go to tmp, not the real
+    # repo-root bench_partial.json artifact.
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    old = {s: signal.getsignal(s) for s in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        br = bench.BenchRun(budget=1000)
+        attempts = []
 
-    def fake_run_once(spec, timeout=None):
-        attempts.append(spec)
-        br.budget -= 150  # simulate the attempt consuming budget
-        return None  # crash
+        def fake_run_once(spec, timeout=None):
+            attempts.append(spec)
+            br.budget -= 150  # simulate the attempt consuming budget
+            return None  # crash
 
-    br._run_once = fake_run_once
+        br._run_once = fake_run_once
 
-    # remaining starts ~1000; after the first (crashed) attempt it is
-    # ~850 >= est=180, so the retry runs: 2 attempts.
-    out = br.run({"kind": "x"}, est=180)
-    assert out is None and len(attempts) == 2
+        # remaining starts ~1000; after the first (crashed) attempt it
+        # is ~850 >= est=180, so the retry runs: 2 attempts.
+        out = br.run({"kind": "x"}, est=180)
+        assert out is None and len(attempts) == 2
 
-    # Now squeeze the budget so the post-crash remaining (~550-150=400
-    # ... then drop to below est) — set remaining just above est for
-    # the first attempt, below it afterwards.
-    attempts.clear()
-    br.budget = br.elapsed() + 200  # remaining ~200 >= est
-    out = br.run({"kind": "y"}, est=180)
-    # first attempt consumed 150 of budget -> remaining ~50 < est:
-    # retry must be skipped.
-    assert out is None and len(attempts) == 1
+        # Squeeze the budget: remaining ~200 >= est for the first
+        # attempt, ~50 < est after its crash — retry must be skipped.
+        attempts.clear()
+        br.budget = br.elapsed() + 200
+        out = br.run({"kind": "y"}, est=180)
+        assert out is None and len(attempts) == 1
+    finally:
+        for sig, h in old.items():
+            signal.signal(sig, h)

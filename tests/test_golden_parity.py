@@ -16,6 +16,8 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from tests._golden import insert_path
 import pytest
 
 GOLDEN = Path(__file__).parent / "golden"
@@ -26,17 +28,11 @@ def load_case(name):
     data = dict(np.load(GOLDEN / f"{name}.npz"))
     params, stats = {}, {}
 
-    def insert(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
-
     for key, value in data.items():
         if key.startswith("P|"):
-            insert(params, key[2:].split("|"), value)
+            insert_path(params, key[2:].split("|"), value)
         elif key.startswith("S|"):
-            insert(stats, key[2:].split("|"), value)
+            insert_path(stats, key[2:].split("|"), value)
     return (
         params,
         stats,
@@ -135,15 +131,9 @@ def _load_nonauto(name):
     data = dict(np.load(GOLDEN / f"{name}.npz"))
     params = {}
 
-    def insert(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
-
     for key, value in data.items():
         if key.startswith("P|"):
-            insert(params, key[2:].split("|"), value)
+            insert_path(params, key[2:].split("|"), value)
     return (
         params, data["case_params"], data["t"], data["query_xy"],
         data["expected"],
@@ -208,15 +198,9 @@ def _load_grads(name):
     data = dict(np.load(GOLDEN / f"{name}.npz"))
     grads = {}
 
-    def insert(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
-
     for key, value in data.items():
         if key.startswith("G|"):
-            insert(grads, key[2:].split("|"), value)
+            insert_path(grads, key[2:].split("|"), value)
     return grads, data["label"], float(data["loss_nmse"])
 
 
@@ -301,15 +285,9 @@ def test_fno_sgd_trajectory_matches_reference():
     data = dict(np.load(GOLDEN / "fno_sgd_trajectory.npz"))
     exp_final = {}
 
-    def insert(tree, path, value):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = value
-
     for key, value in data.items():
         if key.startswith("F|"):
-            insert(exp_final, key[2:].split("|"), value)
+            insert_path(exp_final, key[2:].split("|"), value)
     loss_fn = loss_name_to_fn("nmse")
     tx = optax.sgd(float(data["lr"]))
     opt_state = tx.init(params)

@@ -18,6 +18,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+from tests._golden import trees_from_flat
+
 from cfdbench_tpu.utils.torch_import import (
     import_state_dict,
     verify_variables,
@@ -32,20 +34,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 def load_tree(npz_path):
     """Rebuild {"params": ..., ["batch_stats": ...]} from the flattened
-    P|/S| arrays of a golden fixture."""
+    P|/S| arrays of a golden fixture (shared decoder: tests/_golden)."""
     data = np.load(npz_path)
-    params, stats = {}, {}
-    for k in data.files:
-        if k.startswith("P|"):
-            dest, path = params, k[2:].split("|")
-        elif k.startswith("S|"):
-            dest, path = stats, k[2:].split("|")
-        else:
-            continue
-        node = dest
-        for part in path[:-1]:
-            node = node.setdefault(part, {})
-        node[path[-1]] = data[k]
+    trees = trees_from_flat({k: data[k] for k in data.files}, ("P", "S"))
+    params, stats = trees["P"], trees["S"]
     tree = {"params": params}
     if stats:
         tree["batch_stats"] = stats

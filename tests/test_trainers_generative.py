@@ -65,7 +65,7 @@ def test_generative_eval_scores_frames(tmp_path, rng):
     )
 
 
-def test_vae_trainer_smoke(synth_root, tmp_path):
+def test_vae_trainer_smoke(synth_root, tmp_path, capsys):
     from cfdbench_tpu.data import get_auto_dataset
     from cfdbench_tpu.data.vae_data import build_vae_dataset
     from cfdbench_tpu.models.vae import AutoencoderKL
@@ -98,6 +98,7 @@ def test_vae_trainer_smoke(synth_root, tmp_path):
         (tmp_path / "vae_out" / "training_meta.json").read_text()
     )
     assert meta["epoch"] == 1
+    capsys.readouterr()  # drain
     train_vae(
         vae, vae_train, vae_dev,
         output_dir=tmp_path / "vae_out",
@@ -105,6 +106,11 @@ def test_vae_trainer_smoke(synth_root, tmp_path):
         num_epochs=3, lr=1e-3, batch_size=16,
         kl_annealing_epochs=2, resume=True,
     )
+    # Discriminating check (a broken resume restarting from scratch
+    # would reproduce identical meta/history deterministically): the
+    # resumed run must train ONLY epoch 2 — no "ep 0:"/"ep 1:" lines.
+    log = capsys.readouterr().out
+    assert "ep 2:" in log and "ep 0:" not in log and "ep 1:" not in log
     meta = json.loads(
         (tmp_path / "vae_out" / "training_meta.json").read_text()
     )
@@ -112,7 +118,7 @@ def test_vae_trainer_smoke(synth_root, tmp_path):
     assert len(meta["history"]["val_total"]) == 3
 
 
-def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path):
+def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path, capsys):
     from cfdbench_tpu.data import get_auto_dataset
     from cfdbench_tpu.data.wrapper import (
         compute_residual_stats, wrap_gencast,
@@ -155,13 +161,22 @@ def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path):
     for key in ("nmse", "input_nmse", "gen_frame_nmse"):
         assert np.isfinite(dev_scores["mean"][key])
     step_after_first = int(np.asarray(jax.device_get(state.step)))
-    # Resume continues from the saved epoch.
+    # Resume continues from the saved epoch. Discriminators (a broken
+    # resume would deterministically reproduce counters): the epoch-1
+    # eval artifact is not rewritten, and no epoch-0/1 log lines recur.
+    ckpt1_mtime = (out / "ckpt-1" / "dev_scores.json").stat().st_mtime_ns
+    capsys.readouterr()  # drain
     state2 = train_gencast(
         task, gc_train, gc_dev, output_dir=out,
         num_epochs=4, lr=1e-3, batch_size=16, eval_batch_size=16,
         eval_interval=2, log_interval=100, warmup_steps=2,
         frame_eval_batches=1,
     )
+    log = capsys.readouterr().out
+    assert "ep 3:" in log and "ep 1:" not in log
+    assert (
+        out / "ckpt-1" / "dev_scores.json"
+    ).stat().st_mtime_ns == ckpt1_mtime
     assert int(np.asarray(jax.device_get(state2.step))) > step_after_first
     # Test mode: generate-and-score the dev split (stand-in for test).
     scores = test_gencast(
@@ -173,7 +188,7 @@ def test_gencast_trainer_smoke_and_resume(synth_root, tmp_path):
     assert (out / "test" / "preds.npy").exists()
 
 
-def test_uncond_ddpm_trainer_smoke(synth_root, tmp_path):
+def test_uncond_ddpm_trainer_smoke(synth_root, tmp_path, capsys):
     from cfdbench_tpu.data import get_auto_dataset
     from cfdbench_tpu.training.trainer_uncond import train_uncond_ddpm
 
@@ -203,11 +218,16 @@ def test_uncond_ddpm_trainer_smoke(synth_root, tmp_path):
         (tmp_path / "uncond" / "training_meta.json").read_text()
     )
     assert meta["epoch"] == 0
+    capsys.readouterr()  # drain
     state2 = train_uncond_ddpm(
         train.labels[:32], output_dir=tmp_path / "uncond",
         num_epochs=2, batch_size=16, timesteps=50,
         base_channels=8, sample_every=100, resume=True,
     )
+    # Discriminating check: only epoch 1 trained (a broken resume
+    # would re-run epoch 0 and reproduce identical counters).
+    log = capsys.readouterr().out
+    assert "ep 1:" in log and "ep 0:" not in log
     meta = json.loads(
         (tmp_path / "uncond" / "training_meta.json").read_text()
     )
