@@ -107,9 +107,16 @@ def make_auto_task(args: Args, n_case_params: int, field_shape):
         from .models.vae import make_cfd_vae
         from .training.checkpoints import load_params
 
+        # Same variant/shape flags main_vae trains with, so any trained
+        # VAE checkpoint (lite/v1/v2/custom) restores into the right
+        # tree here.
         vae = make_cfd_vae(
             args.vae_variant, args.out_chan, args.out_chan,
-            args.ldm_latent_dim,
+            args.z_channels if args.vae_variant == "custom"
+            else args.ldm_latent_dim,
+            ch=args.ch,
+            ch_mult=tuple(args.ch_mult),
+            num_res_blocks=args.num_res_blocks,
         )
         # Abstract template (shapes only): eager full-size VAE init is
         # minutes of op-by-op dispatch; restore only needs structure.

@@ -142,7 +142,10 @@ def train_vae(
         "val_total": [], "val_recon": [], "val_kl": [], "val_steps": [],
     }
     best_val = np.inf
-    best_params = params
+    # Host copy, not an alias: the donated train step invalidates the
+    # initial device buffers on its first call, and a run whose
+    # validation never improves (e.g. NaN divergence) returns this.
+    best_params = jax.device_get(params)
     patience = 0
     plateau = 0
     cur_lr = lr

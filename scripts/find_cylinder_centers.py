@@ -41,7 +41,10 @@ def find_cylinder_center(case_dir, margin=5):
     H, W = u_t.shape
     x, y, _, _ = grid_coords(params, H, W)
     vel = np.sqrt(u_t**2 + v_t**2)
-    i, j = interior_vel_minimum(vel, margin)
+    found = interior_vel_minimum(vel, margin)
+    if found is None:  # degenerate field: no interior to search
+        return dict(case=case_dir.name, error="empty interior")
+    i, j = found
     return dict(
         case=case_dir.name,
         center_x=float(x[j]), center_y=float(y[i]),
@@ -81,6 +84,10 @@ def main():
     if not case_dirs:
         raise SystemExit(f"no case dirs under {a.subset_dir}")
     results = [find_cylinder_center(d, a.margin) for d in case_dirs]
+    bad = [r for r in results if "error" in r]
+    for r in bad:
+        print(f"{r['case']}: skipped ({r['error']})", file=sys.stderr)
+    results = [r for r in results if "error" not in r]
     for r in results:
         print(
             f"{r['case']}: center=({r['center_x']:.6f}, "
