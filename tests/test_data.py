@@ -250,3 +250,30 @@ def test_reference_pt_cache_roundtrip(synth_root, tmp_path):
     np.testing.assert_allclose(loaded.case_params, ds.case_params)
     for a, b in zip(loaded.all_features, ds.all_features):
         np.testing.assert_array_equal(a, b)
+
+
+def test_karman_legacy_loader(tmp_path):
+    """Legacy Karman dataset (reference ``src/dataset/base.py:10-87``):
+    BC padding (1 on top/bottom/left), flipped+padded mask, u boundary
+    columns forced to 0.5, pairs offset by time_step_size."""
+    from cfdbench_tpu.data.karman import build_karman_dataset
+
+    rng = np.random.default_rng(7)
+    T, H, W = 25, 6, 8
+    np.save(tmp_path / "u.npy", rng.standard_normal((T, H, W)))
+    np.save(tmp_path / "v.npy", rng.standard_normal((T, H, W)))
+    np.save(tmp_path / "mask.npy",
+            rng.integers(0, 2, (H, W)).astype(np.float64))
+    ds = build_karman_dataset(tmp_path, time_step_size=10)
+    assert len(ds) == T - 10
+    assert ds.features.shape == (T - 10, H + 2, W + 1, 2)
+    assert ds.labels.shape == ds.features.shape
+    # pairs offset by exactly time_step_size frames
+    np.testing.assert_array_equal(ds.features[10], ds.labels[0])
+    # u boundary columns forced to 0.5 on interior rows, both edges
+    assert np.all(ds.features[0, 1:-1, 0, 0] == 0.5)
+    assert np.all(ds.features[0, 1:-1, -1, 0] == 0.5)
+    # padded rows are zero for v; mask is flipped (boundaries -> 0)
+    assert np.all(ds.features[0, 0, :, 1] == 0)
+    assert ds.mask.shape == (H + 2, W + 1)
+    assert np.all(ds.mask[0, :] == 0) and np.all(ds.mask[:, 0] == 0)
