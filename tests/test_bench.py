@@ -39,25 +39,44 @@ def test_ping_worker_cpu():
     assert "ping: compile done" in p.stderr
 
 
-def test_budget_exhaustion_still_emits():
+def test_budget_exhaustion_still_emits(tmp_path):
     p = subprocess.run(
         [sys.executable, str(BENCH)], capture_output=True, text=True,
-        timeout=120, env=_env(CFDBENCH_BENCH_BUDGET_SEC=3),
+        timeout=120,
+        env=_env(
+            CFDBENCH_BENCH_BUDGET_SEC=3,
+            CFDBENCH_BENCH_PARTIAL=tmp_path / "partial.json",
+            CFDBENCH_BENCH_HISTORY=tmp_path / "hist.jsonl",
+            CFDBENCH_BENCH_DETAILS=tmp_path / "details.json",
+        ),
     )
     assert p.returncode == 0, p.stderr
-    out = json.loads(p.stdout.strip().splitlines()[-1])
+    line = p.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
     assert out["metric"] == "fno_rollout_frames_per_sec_per_chip"
     assert out["value"] == 0.0
-    assert out["details"]["skipped_for_budget"]  # everything skipped
+    assert out["details"]["n_skipped_for_budget"] > 0  # all skipped
+    # The round-5 compact-line contract: the final stdout line must be
+    # bounded (BENCH_r04's multi-KB line was tail-truncated by the
+    # driver → parsed=null) and nothing may follow it on stdout.
+    assert len(line.encode()) < 2048
+    # Full snapshot (incl. the raw skip list) lives in the sidecar.
+    sidecar = json.loads((tmp_path / "details.json").read_text())
+    assert sidecar["details"]["skipped_for_budget"]
 
 
-def test_sigterm_emits_line():
+def test_sigterm_emits_line(tmp_path):
     """timeout(1) sends SIGTERM — the round-3 kill path must now still
     yield a parsed line."""
     proc = subprocess.Popen(
         [sys.executable, str(BENCH)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=_env(CFDBENCH_BENCH_BUDGET_SEC=600),
+        env=_env(
+            CFDBENCH_BENCH_BUDGET_SEC=600,
+            CFDBENCH_BENCH_PARTIAL=tmp_path / "partial.json",
+            CFDBENCH_BENCH_HISTORY=tmp_path / "hist.jsonl",
+            CFDBENCH_BENCH_DETAILS=tmp_path / "details.json",
+        ),
     )
     # Wait for the orchestrator's first "[bench] ..." stderr line: it
     # proves BenchRun is constructed and the signal handlers installed
@@ -72,14 +91,19 @@ def test_sigterm_emits_line():
     assert "value" in out and "vs_baseline" in out
 
 
-def test_remeasure_baseline_sigterm_keeps_schema():
+def test_remeasure_baseline_sigterm_keeps_schema(tmp_path):
     """--remeasure-baseline prints a {"baseline": ...} dict; a driver
     kill must yield that schema (baseline=null), not a 0-valued
     rollout-metric line that could be mistaken for a measurement."""
     proc = subprocess.Popen(
         [sys.executable, str(BENCH), "--remeasure-baseline"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        env=_env(CFDBENCH_BENCH_BUDGET_SEC=600),
+        env=_env(
+            CFDBENCH_BENCH_BUDGET_SEC=600,
+            CFDBENCH_BENCH_PARTIAL=tmp_path / "partial.json",
+            CFDBENCH_BENCH_HISTORY=tmp_path / "hist.jsonl",
+            CFDBENCH_BENCH_DETAILS=tmp_path / "details.json",
+        ),
     )
     line = proc.stderr.readline()
     assert "[bench]" in line, line
@@ -116,6 +140,7 @@ def _run_last_known_good(tmp_path, monkeypatch, bench):
     )) + "\n")
     monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
     monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    monkeypatch.setattr(bench, "DETAILS_PATH", str(tmp_path / "d.json"))
 
     br = bench.BenchRun(budget=1.0)
     import io
@@ -126,7 +151,12 @@ def _run_last_known_good(tmp_path, monkeypatch, bench):
         br.emit()
     out = json.loads(buf.getvalue().strip())
     assert out["value"] == 0.0
-    lkg = out["details"]["last_known_good"]
+    # Compact line carries the machine-usable stale mirror; the full
+    # last_known_good provenance lives in the sidecar snapshot.
+    assert out["stale_value"] == 62345.0
+    assert out["stale_age_sec"] >= 3600
+    sidecar = json.loads((tmp_path / "d.json").read_text())
+    lkg = sidecar["details"]["last_known_good"]
     assert lkg["value"] == 62345.0
     assert lkg["age_sec"] >= 3600
     # and a successful run appends to history instead
