@@ -55,14 +55,22 @@ def score_dict(
         lab1 = jnp.sum(w * jnp.abs(labels)) / denom
     result = dict(mse=mse, rmse=jnp.sqrt(mse), mae=mae)
     if normalize:
-        # The tiny clamp is exact (a no-op bitwise) for any real label
-        # energy; it only fires for an all-padding batch (weights all
-        # zero → 0/0 would poison the device-side epoch stack with NaN).
-        # 1e-30, not 1e-38: XLA flushes subnormal f32 to zero (FTZ), so
-        # a sub-normal tiny would be maximum(0, 0) and guard nothing.
-        tiny = jnp.asarray(1e-30, lab2.dtype)
-        result["nmse"] = mse / jnp.maximum(lab2, tiny)
-        result["nmae"] = mae / jnp.maximum(lab1, tiny)
+        # Guard ONLY the exact all-padding case (weights all zero →
+        # label energy identically 0 → 0/0 would poison the device-side
+        # epoch stack with NaN): divide by the true energy whenever it
+        # is nonzero — bit-exact vs the reference's unguarded division
+        # for every real batch, including tiny-but-normal label energies
+        # below 1e-30 (a maximum()-style clamp would silently alter
+        # those). The where-in-denominator keeps gradients NaN-free when
+        # nmse/nmae is the training loss.
+        one = jnp.asarray(1.0, lab2.dtype)
+        zero = jnp.asarray(0.0, lab2.dtype)
+        result["nmse"] = jnp.where(
+            lab2 > 0, mse / jnp.where(lab2 > 0, lab2, one), zero
+        )
+        result["nmae"] = jnp.where(
+            lab1 > 0, mae / jnp.where(lab1 > 0, lab1, one), zero
+        )
     return result
 
 

@@ -497,9 +497,21 @@ SPECTRAL_BACKEND = "auto"
 # The measured rsep/wfirst crossover is a PER-CHIP batch of 64. Under a
 # data-parallel mesh, the traced x.shape[0] is the GLOBAL batch, so the
 # auto rule divides by the data-axis size. ``parallel.mesh.make_mesh``
-# sets this when it builds a mesh; 1 = single chip.
+# publishes this via ``set_data_shards`` when it builds a mesh; 1 =
+# single chip. Every trace ENTRY POINT should declare its parallelism
+# (mesh builders the data-axis size, single-device paths 1) — the value
+# is process-global, so a dp>1 mesh left behind by a previous phase
+# would otherwise skew a later unsharded trace's backend choice
+# (ADVICE r4 #1).
 AUTO_DATA_SHARDS = 1
 AUTO_RSEP_MIN_BATCH = 64
+
+
+def set_data_shards(d: int) -> None:
+    """Declare how many data-parallel shards the next traces split
+    their leading batch axis over (1 = single-device/unsharded)."""
+    global AUTO_DATA_SHARDS
+    AUTO_DATA_SHARDS = max(1, int(d))
 
 
 SPECTRAL_BACKENDS = (

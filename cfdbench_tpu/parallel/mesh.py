@@ -53,10 +53,13 @@ def make_mesh(
         # The spectral "auto" backend's rsep/wfirst crossover is a
         # per-chip batch threshold; tell it the data-axis size so a
         # global-batch shape traced under this mesh is judged per
-        # shard.
+        # shard. Single-device trace entry points (serving export,
+        # meshless eval) declare set_data_shards(1) themselves so a
+        # dp>1 mesh left behind here can't skew their backend choice
+        # (ADVICE r4 #1).
         from ..ops import spectral
 
-        spectral.AUTO_DATA_SHARDS = d
+        spectral.set_data_shards(d)
     return mesh
 
 

@@ -55,9 +55,15 @@ def save_params(params: Any, ckpt_dir: Path) -> None:
             path.rename(backup)
         tmp.rename(path)
     else:
-        (ckpt_dir / "model.msgpack").write_bytes(
-            serialization.to_bytes(jax.device_get(params))
-        )
+        # Same crash-safety as the orbax path: temp file + atomic
+        # os.replace, so a kill mid-write can't corrupt the only copy
+        # (ADVICE r4 #4).
+        import os
+
+        target = ckpt_dir / "model.msgpack"
+        tmp = ckpt_dir / "model.msgpack.tmp"
+        tmp.write_bytes(serialization.to_bytes(jax.device_get(params)))
+        os.replace(tmp, target)
 
 
 def _explain_tree_mismatch(ckpt_path: Path, err: Exception) -> None:

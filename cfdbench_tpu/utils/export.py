@@ -27,6 +27,16 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
+def _declare_single_device_trace():
+    """Exported programs are single-device: the batch axis the trace
+    sees is the true per-chip batch. Reset the spectral auto-backend
+    divisor in case a dp>1 training mesh was built earlier in this
+    process (ADVICE r4 #1)."""
+    from ..ops import spectral
+
+    spectral.set_data_shards(1)
+
+
 def _spec(shape):
     return jax.ShapeDtypeStruct(tuple(shape), jnp.float32)
 
@@ -49,6 +59,7 @@ def export_predict(
             model_state=model_state or {},
         )
 
+    _declare_single_device_trace()
     exp = jax_export.export(
         jax.jit(f), platforms=platforms
     )(
@@ -81,6 +92,7 @@ def export_rollout(
     def f(frame0, case_params, mask):
         return rollout(params, frame0, case_params, mask)
 
+    _declare_single_device_trace()
     exp = jax_export.export(
         jax.jit(f), platforms=platforms
     )(

@@ -95,6 +95,12 @@ def main(argv=None) -> None:
     pre.add_argument("--as_epoch", type=int, default=None,
                      help="epoch number for the ckpt dir "
                           "(default: parsed from the source ckpt-N dir)")
+    pre.add_argument("--force", action="store_true",
+                     help="write the dev_loss=0.0 stub scores.json even "
+                          "when the target result dir already holds "
+                          "locally-trained checkpoints with real dev "
+                          "losses (the stub would beat all of them in "
+                          "best-checkpoint selection)")
     ns, rest = pre.parse_known_args(argv)
     args = Args.parse_args(rest)
 
@@ -127,6 +133,23 @@ def main(argv=None) -> None:
         shutil.copy(src_scores, ckpt_dir / "scores.json")
         print(f"copied reference scores.json (dev-loss preserved)")
     else:
+        # A dev_loss=0.0 stub unconditionally wins best-checkpoint
+        # selection; refuse when real locally-trained scores already
+        # exist in this result dir unless the user forces it
+        # (ADVICE r4 #3).
+        others = [
+            p for p in out_root.glob("ckpt-*/scores.json")
+            if p.parent != ckpt_dir
+        ]
+        if others and not ns.force:
+            raise SystemExit(
+                f"{out_root} already holds {len(others)} checkpoint(s) "
+                "with real scores.json; a dev_loss=0.0 stub for the "
+                "imported checkpoint would beat all of them in "
+                "best-checkpoint selection. Re-run with --force to "
+                "write the stub anyway, or place the import in a fresh "
+                "--output_dir."
+            )
         checkpoints.save_epoch_scores(
             ckpt_dir, ep=ep, train_loss=0.0, dev_loss=0.0, time_s=0.0
         )

@@ -63,3 +63,20 @@ def test_nmae_is_normalized_and_zero_weight_batches_are_finite():
     s0 = score_dict(preds, labels, normalize=True, sample_weights=w0)
     for k, v in s0.items():
         assert np.isfinite(float(v)), (k, v)
+
+
+def test_tiny_nonzero_label_energy_divides_exactly():
+    """Labels with energy below 1e-30 (tiny but normal f32) must divide
+    by the TRUE energy, matching the reference's unguarded
+    mse/mean(labels**2) — a maximum()-style clamp would silently
+    inflate the denominator (ADVICE r4 #2). Only the exact all-padding
+    lab==0 case is guarded (to 0, not NaN)."""
+    preds = np.full((2, 3, 3), 2e-17, dtype=np.float32)
+    labels = np.full((2, 3, 3), 1e-17, dtype=np.float32)  # energy 1e-34
+    s = score_dict(preds, labels, normalize=True)
+    assert np.isclose(float(s["nmse"]), 1.0, rtol=1e-5)  # (2x-x)^2/x^2
+    assert np.isclose(float(s["nmae"]), 1.0, rtol=1e-5)
+
+    z = np.zeros((2, 3, 3), dtype=np.float32)
+    s0 = score_dict(z, z, normalize=True)
+    assert float(s0["nmse"]) == 0.0 and float(s0["nmae"]) == 0.0
