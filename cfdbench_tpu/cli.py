@@ -354,7 +354,11 @@ def main_train(argv=None) -> None:
 def main_multistep(argv=None) -> None:
     """Mirror of ``src/test_multistep.py:180-236``: 20-step rollout on
     the test split, per-step masked-u metrics averaged over cases —
-    executed as one jitted scan over all cases at once."""
+    executed as one jitted scan over all cases at once. With
+    ``--mesh_shape Nx1`` (or the default ``auto`` on a multi-chip host)
+    the case axis is dp-sharded over the mesh's data axis; reported
+    metrics are identical to the single-device run (padding cases are
+    weighted out)."""
     from .training.rollout import (
         make_rollout_fn,
         multistep_metrics,
@@ -440,6 +444,53 @@ def main_multistep(argv=None) -> None:
 
     output_dir = get_output_dir(args, is_auto=True)
 
+    # dp-sharded rollout (auto + gencast branches): shard the case axis
+    # over the mesh's data axis — the rollout scan and per-step metric
+    # math run SPMD, XLA inserts nothing (fully batch-parallel). The
+    # case count is padded to a multiple of dp by repeating the last
+    # case; padding replicas carry weight 0 so the reported per-step
+    # means equal the unpadded single-device result exactly
+    # (tests/test_parallel.py::test_multistep_cli_sharded_matches_single).
+    from .parallel.mesh import (
+        DATA_AXIS,
+        batch_sharding,
+        replicated_sharding,
+    )
+
+    mesh = _mesh(args)
+    dp = mesh.shape[DATA_AXIS]
+    n_real = frame0.shape[0]
+    case_weights = None
+    if dp > 1:
+        pad = (-n_real) % dp
+        if pad:
+            def _rep(a):
+                return np.concatenate(
+                    [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                )
+
+            features = _rep(features)
+            frame0, case_params, mask = map(
+                _rep, (frame0, case_params, mask)
+            )
+            case_weights = np.concatenate(
+                [np.ones(n_real, np.float32), np.zeros(pad, np.float32)]
+            )
+        print(f"[multistep] sharding {frame0.shape[0]} cases "
+              f"({n_real} real) over {dp} data-parallel devices")
+
+        def _shard_in(a):
+            return jax.device_put(a, batch_sharding(mesh))
+
+        def _replicate(tree):
+            return jax.device_put(tree, replicated_sharding(mesh))
+    else:
+        def _shard_in(a):
+            return a
+
+        def _replicate(tree):
+            return tree
+
     if args.model == "gencast":
         # GenCast rollout: jitted scan keeping the 2-frame window
         # (``src/models/gen_cast_cfd.py:275-308``). The window is seeded
@@ -472,14 +523,17 @@ def main_multistep(argv=None) -> None:
         template = jax.eval_shape(
             lambda: task.init_variables(jax.random.PRNGKey(0), sample)[0]
         )
-        params = dict(
+        params = _replicate(dict(
             load_params({"params": template}, output_dir / "best_model")
-        )["params"]
+        )["params"])
         preds = jax.jit(
             lambda p, f0, cp, m: task.rollout(
                 p, f0, f0, cp, m, steps=infer_steps
             )
-        )(params, frame0, case_params, mask)
+        )(
+            params, _shard_in(frame0), _shard_in(case_params),
+            _shard_in(mask),
+        )
     else:
         task = make_auto_task(
             args,
@@ -534,6 +588,7 @@ def main_multistep(argv=None) -> None:
             roll_frame0 = np.asarray(frame0, bf16)
             roll_cp = np.asarray(case_params, bf16)
             roll_mask = np.asarray(mask, bf16)
+        variables = _replicate(variables)  # BN state etc., closed over
         if getattr(task, "generative", False):
             # Diffusion chaining: each step is a DDPM sampling run with
             # fresh noise (``src/models/pixel_diffusion.py:139-154``).
@@ -564,14 +619,17 @@ def main_multistep(argv=None) -> None:
                 include_initial=(args.model == "resnet"),
             )
         preds = rollout(
-            params, roll_frame0[..., :fb], roll_cp, roll_mask
+            _replicate(params), _shard_in(roll_frame0[..., :fb]),
+            _shard_in(roll_cp), _shard_in(roll_mask),
         )
         if preds.dtype != np.float32:
             # On-device upcast so the jitted metrics score f32; the f32
             # path stays on device untouched (host pulls cost ~28 ms
             # per sync on this backend, and the full stack is large).
             preds = preds.astype(np.float32)
-    metrics = multistep_metrics(preds, features, mask)
+    metrics = multistep_metrics(
+        preds, features, mask, case_weights=case_weights
+    )
     for m in metrics:
         print(m)
     dump_json(metrics, output_dir / "multistep_metrics.json")

@@ -94,10 +94,14 @@ def multistep_metrics(
     pred_frames: jnp.ndarray,  # (steps, B, H, W, C)
     label_frames: np.ndarray,  # (B, steps, H, W, >=1) ground-truth
     mask: np.ndarray,  # (B, H, W) or (B, H, W, 1)
+    case_weights: np.ndarray = None,  # (B,) 1=real case, 0=dp padding
 ) -> List[Dict[str, float]]:
     """Per-step metric dicts averaged over cases (reference
     ``combine_dicts``: mean of per-case values, including per-case
-    nmse)."""
+    nmse). ``case_weights`` excludes dp-padding replicas appended to
+    round the case count up to a multiple of the data-axis size —
+    weighted means over real cases are identical to the unpadded
+    single-device means."""
     preds_u = jnp.transpose(pred_frames[..., 0], (1, 0, 2, 3))  # (B,S,H,W)
     labels_u = jnp.asarray(label_frames[..., 0])
     m = np.asarray(mask)
@@ -106,13 +110,17 @@ def multistep_metrics(
     m = jnp.asarray(m)[:, None]  # (B, 1, H, W)
     mse, nmse, mae = _per_step_metrics(preds_u, labels_u, m)
     mse, nmse, mae = map(np.asarray, (mse, nmse, mae))
+    w = (
+        None if case_weights is None
+        else np.asarray(case_weights, np.float64)
+    )
     out = []
     for s in range(preds_u.shape[1]):
         out.append(
             dict(
-                mse=float(mse[:, s].mean()),
-                nmse=float(nmse[:, s].mean()),
-                mae=float(mae[:, s].mean()),
+                mse=float(np.average(mse[:, s], weights=w)),
+                nmse=float(np.average(nmse[:, s], weights=w)),
+                mae=float(np.average(mae[:, s], weights=w)),
             )
         )
     return out

@@ -238,3 +238,46 @@ def test_train_nonauto_resume(synth_root, out_root):
     assert (
         (run / "ckpt-1" / "scores.json").stat().st_mtime == mtime_before
     )
+
+
+def test_multistep_sharded_matches_single_device(synth_root, out_root):
+    """--mesh_shape on test_multistep (round-4 verdict #4): the case
+    axis is dp-sharded over the mesh's data axis, the case count padded
+    to a multiple of dp with weight-0 replicas — reported per-step
+    metrics must equal the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = out_root / "multistep_dp"
+    common = [
+        "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--output_dir", str(out),
+        "--fno_depth", "1", "--fno_hidden_dim", "8",
+        "--fno_modes_x", "4", "--fno_modes_y", "4",
+    ]
+    main_auto(common + [
+        "--num_epochs", "1", "--batch_size", "16",
+        "--eval_batch_size", "16", "--eval_interval", "1",
+        "--log_interval", "100", "--mode", "train",
+        "--mesh_shape", "1",
+    ])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
+        / "lr0.0001_d1_h8_m14_m24"
+    )
+
+    main_multistep(common + ["--mesh_shape", "1"])
+    single = json.loads((run / "multistep_metrics.json").read_text())
+
+    # The synthetic test split has 3 cases — NOT a multiple of 8, so
+    # this exercises the pad-and-weight-out path, not just sharding.
+    main_multistep(common + ["--mesh_shape", "8x1"])
+    sharded = json.loads((run / "multistep_metrics.json").read_text())
+
+    assert len(single) == len(sharded) == 20
+    for a, b in zip(single, sharded):
+        for k in ("mse", "nmse", "mae"):
+            assert abs(a[k] - b[k]) <= 1e-6 * max(1.0, abs(a[k])), (
+                k, a, b,
+            )
