@@ -17,7 +17,9 @@ Usage: python scripts/compare_training.py [--epochs 30] [--model fno]
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
+import os
 import sys
 import tempfile
 import time
@@ -28,6 +30,28 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parent.parent
 REFERENCE_SRC = Path("/root/reference/src")
 
+
+
+def _delta_time(data_name: str) -> float:
+    """Per-problem delta_time matching the reference's data stride:
+    cylinder frames are 0.001 s apart (cylinder.py:421), so stride-1
+    pairs on the 12-frame synthetic tree need delta_time=0.001; the
+    other problems use the reference scripts' default 0.1."""
+    return 0.001 if data_name.startswith("cylinder") else 0.1
+
+
+@contextlib.contextmanager
+def _chdir(path):
+    """The reference cylinder auto dataset writes a torch cache to
+    ``./dataset/cache/cylinder/<subset>`` relative to CWD
+    (cylinder.py:654): pin CWD to the per-run tree root so caches can
+    neither litter the repo nor leak between runs with different trees."""
+    prev = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(prev)
 
 
 def _collate_reference_auto(batch):
@@ -52,16 +76,21 @@ def _collate_reference_auto(batch):
         mask=inputs[:, -1:], case_params=cp,
     )
 
-def make_tree(grid=16):
+def make_tree(grid=16, data_name="cavity_prop_bc_geo"):
     sys.path.insert(0, str(REPO_ROOT))
     from cfdbench_tpu.data.synthetic import generate_all
 
     root = Path(tempfile.mkdtemp()) / "synth"
     # Same parameters as the test suite's fixture; the default 16x16
     # grid keeps the torch-CPU side fast while exercising every code
-    # path. --flagship raises this to the benchmark's 64x64.
-    generate_all(root, cases_per_subset=5, num_frames=12, grid=grid,
-                 seed=0)
+    # path. --flagship raises this to the benchmark's 64x64. The
+    # 80/10/10 case split (int() floors, dataset/tube.py:360-365) needs
+    # >= 10 cases total for a non-empty dev split, so single-subset
+    # data names (tube_prop, cylinder_prop) get a bigger tree.
+    n_subsets = sum(s in data_name for s in ("prop", "bc", "geo"))
+    per_subset = max(5, -(-10 // max(n_subsets, 1)))
+    generate_all(root, cases_per_subset=per_subset, num_frames=12,
+                 grid=grid, seed=0)
     return root
 
 
@@ -75,7 +104,7 @@ FNO_SCALES = dict(
 )
 
 
-def _make_reference_model(name, seed, scale="small"):
+def _make_reference_model(name, seed, scale="small", n_case_params=5):
     import torch
 
     from models.loss import MseLoss
@@ -85,7 +114,7 @@ def _make_reference_model(name, seed, scale="small"):
         from models.fno.fno2d import Fno2d
 
         return Fno2d(
-            in_chan=2, out_chan=2, n_case_params=5,
+            in_chan=2, out_chan=2, n_case_params=n_case_params,
             loss_fn=MseLoss(True), **FNO_SCALES[scale],
         )
     if name == "unet":
@@ -93,60 +122,69 @@ def _make_reference_model(name, seed, scale="small"):
 
         return UNet(
             in_chan=2, out_chan=2, loss_fn=MseLoss(True),
-            n_case_params=5, insert_case_params_at="input",
+            n_case_params=n_case_params, insert_case_params_at="input",
             bilinear=False, dim=4,
         )
     if name == "resnet":
         from models.resnet import ResNet
 
         return ResNet(
-            in_chan=2, out_chan=2, n_case_params=5,
+            in_chan=2, out_chan=2, n_case_params=n_case_params,
             loss_fn=MseLoss(True), hidden_chan=8, num_blocks=2,
             kernel_size=3, padding=1,
         )
     raise ValueError(name)
 
 
-def _make_our_model(name, scale="small"):
+def _make_our_model(name, scale="small", n_case_params=5):
     if name == "fno":
         from cfdbench_tpu.models.fno import Fno2d
 
         return Fno2d(
-            in_chan=2, out_chan=2, n_case_params=5, **FNO_SCALES[scale],
+            in_chan=2, out_chan=2, n_case_params=n_case_params,
+            **FNO_SCALES[scale],
         )
     if name == "unet":
         from cfdbench_tpu.models.unet import UNet
 
         return UNet(
-            in_chan=2, out_chan=2, n_case_params=5,
+            in_chan=2, out_chan=2, n_case_params=n_case_params,
             insert_case_params_at="input", dim=4,
         )
     if name == "resnet":
         from cfdbench_tpu.models.resnet import ResNet
 
         return ResNet(
-            in_chan=2, out_chan=2, n_case_params=5, hidden_chan=8,
-            num_blocks=2, kernel_size=3, padding=1,
+            in_chan=2, out_chan=2, n_case_params=n_case_params,
+            hidden_chan=8, num_blocks=2, kernel_size=3, padding=1,
         )
     raise ValueError(name)
 
 
 def train_reference_fno(root, epochs, lr, batch_size, seed=0,
-                        model_name="fno", scale="small"):
+                        model_name="fno", scale="small",
+                        data_name="cavity_prop_bc_geo"):
     sys.path.insert(0, str(REFERENCE_SRC))
     import torch
     from torch.utils.data import DataLoader
 
-    from dataset.cavity import get_cavity_auto_datasets
+    from dataset import get_auto_dataset
 
-    train_data, dev_data, _ = get_cavity_auto_datasets(
-        data_dir=root / "cavity", case_name="prop_bc_geo",
-        norm_props=True, norm_bc=True, delta_time=0.1,
-    )
+    with _chdir(root):
+        train_data, dev_data, _ = get_auto_dataset(
+            data_dir=root, data_name=data_name,
+            delta_time=_delta_time(data_name),
+            norm_props=True, norm_bc=True,
+            load_splits=["train", "dev"],
+        )
 
     collate = _collate_reference_auto
 
-    model = _make_reference_model(model_name, seed, scale)
+    # n_case_params is shape-driven, exactly as the reference driver
+    # derives it from the first collated batch (src/train_auto.py:44-60);
+    # cavity/tube have 5, cylinder 8 (cylinder.py:297-306).
+    n_case_params = collate([train_data[0]])["case_params"].shape[-1]
+    model = _make_reference_model(model_name, seed, scale, n_case_params)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=0.9)
     loader = DataLoader(
@@ -184,7 +222,8 @@ def train_reference_fno(root, epochs, lr, batch_size, seed=0,
 
 
 def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
-                   model_name="fno", scale="small"):
+                   model_name="fno", scale="small",
+                   data_name="cavity_prop_bc_geo"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -193,10 +232,10 @@ def train_ours_fno(root, epochs, lr, batch_size, out_dir, seed=0,
     from cfdbench_tpu.training import trainer_auto
 
     train_data, dev_data, _ = get_auto_dataset(
-        root, "cavity_prop_bc_geo", 0.1, True, True,
+        root, data_name, _delta_time(data_name), True, True,
         load_splits=["train", "dev"],
     )
-    model = _make_our_model(model_name, scale)
+    model = _make_our_model(model_name, scale, train_data.n_case_params)
     task = trainer_auto.AutoTask(model, loss_name_to_fn("nmse"))
     t0 = time.time()
     state = trainer_auto.train(
@@ -456,6 +495,14 @@ def main():
                     help="first seed (extend an earlier run without "
                     "re-running its seeds)")
     ap.add_argument("--model", default="fno", choices=sorted(TRAINERS))
+    ap.add_argument(
+        "--data_name", default="cavity_prop_bc_geo",
+        help="auto-family (fno/unet/resnet) can also compare on the "
+        "padded-BC grid path (tube_*: H+2 x W+1, "
+        "src/dataset/tube.py:34-51) and the 8-case-param problem "
+        "(cylinder_*, src/dataset/cylinder.py:297-306); point/non-auto "
+        "models stay cavity-only",
+    )
     ap.add_argument("--grid", type=int, default=16)
     ap.add_argument(
         "--flagship", action="store_true",
@@ -467,7 +514,11 @@ def main():
     if args.flagship:
         assert args.model == "fno", "--flagship is the FNO benchmark shape"
         args.grid = 64
-    root = make_tree(args.grid)
+    if args.data_name != "cavity_prop_bc_geo":
+        assert args.model in ("fno", "unet", "resnet"), (
+            "--data_name is plumbed through the auto-family loop only"
+        )
+    root = make_tree(args.grid, args.data_name)
     ours_fn, ref_fn = TRAINERS[args.model]
     ours, ref = [], []
     for seed in range(args.seed_offset, args.seed_offset + args.seeds):
@@ -477,6 +528,8 @@ def main():
             if args.model in ("fno", "unet", "resnet", "ffn", "deeponet")
             else {}
         )
+        if args.model in ("fno", "unet", "resnet"):
+            kw["data_name"] = args.data_name
         if args.flagship:
             kw["scale"] = "flagship"
         ours.append(
@@ -506,7 +559,7 @@ def main():
                     scale="flagship" if args.flagship else "small",
                     epochs=args.epochs, lr=args.lr,
                     batch_size=args.batch_size, seeds=args.seeds,
-                    data="synthetic cavity_prop_bc_geo (15 cases)"),
+                    data=f"synthetic {args.data_name}"),
         reference_torch=summarize(ref),
         this_framework=summarize(ours),
     ), indent=2))

@@ -88,44 +88,68 @@ def bench_artifact(path: Path, iters: int) -> dict:
 
 
 def selftest(ns) -> dict:
-    """Export a throwaway FNO and compare served vs in-process."""
+    """Export a throwaway model and compare served vs in-process.
+
+    ``--model fno`` (spectral flagship) or ``--model unet`` (the conv
+    throughput champion — BASELINE.md §cross-family; its BatchNorm
+    running stats ride along as ``model_state``, so this also proves
+    stateful models serve correctly)."""
     import jax
 
     from cfdbench_tpu.metrics import loss_name_to_fn
-    from cfdbench_tpu.models.fno import Fno2d
     from cfdbench_tpu.training.rollout import make_rollout_fn
     from cfdbench_tpu.training.trainer_auto import AutoTask
     from cfdbench_tpu.utils.export import export_predict, export_rollout
 
-    model = Fno2d(
-        in_chan=2, out_chan=2, n_case_params=5, num_layers=ns.depth,
-        modes1=ns.modes, modes2=ns.modes, hidden_dim=ns.hidden,
-    )
+    if ns.model == "fno":
+        from cfdbench_tpu.models.fno import Fno2d
+
+        model = Fno2d(
+            in_chan=2, out_chan=2, n_case_params=5, num_layers=ns.depth,
+            modes1=ns.modes, modes2=ns.modes, hidden_dim=ns.hidden,
+        )
+    else:
+        from cfdbench_tpu.models.unet import UNet
+
+        # --hidden maps to the UNet's base channel count ("dim").
+        model = UNet(
+            in_chan=2, out_chan=2, n_case_params=5,
+            insert_case_params_at="input", dim=ns.hidden,
+        )
     task = AutoTask(model, loss_name_to_fn("nmse"))
     B, H, W = ns.batch, ns.grid, ns.grid
     frame, cp, mask = _ones_inputs(
         [jax.ShapeDtypeStruct(s, "float32")
          for s in [(B, H, W, 2), (B, 5), (B, H, W, 1)]]
     )
-    params = model.init(jax.random.PRNGKey(0), frame, cp, mask)["params"]
+    variables = model.init(jax.random.PRNGKey(0), frame, cp, mask)
+    params = variables["params"]
+    model_state = {
+        k: v for k, v in variables.items() if k != "params"
+    }  # UNet: batch_stats; FNO: empty
 
-    out = dict(config=dict(batch=B, grid=ns.grid, hidden=ns.hidden,
-                           depth=ns.depth, modes=ns.modes,
-                           steps=ns.steps))
+    out = dict(config=dict(model=ns.model, batch=B, grid=ns.grid,
+                           hidden=ns.hidden, depth=ns.depth,
+                           modes=ns.modes, steps=ns.steps))
     with tempfile.TemporaryDirectory() as td:
         sections = (
             (
                 "predict",
-                lambda p: export_predict(task, params, p, B, H, W, 5),
+                lambda p: export_predict(
+                    task, params, p, B, H, W, 5,
+                    model_state=model_state),
                 jax.jit(lambda f, c, m: task.predict_frame(
-                    params, f, c, m)),
+                    params, f, c, m, model_state=model_state)),
             ),
             (
                 "rollout",
                 lambda p: export_rollout(
-                    task, params, p, B, H, W, 5, steps=ns.steps),
+                    task, params, p, B, H, W, 5, steps=ns.steps,
+                    model_state=model_state),
                 jax.jit(lambda f, c, m: make_rollout_fn(
-                    task.predict_frame, steps=ns.steps,
+                    lambda pp, ff, cc, mm: task.predict_frame(
+                        pp, ff, cc, mm, model_state=model_state),
+                    steps=ns.steps,
                 )(params, f, c, m)),
             ),
         )
@@ -153,6 +177,8 @@ def main(argv=None) -> None:
     ap.add_argument("--selftest", action="store_true",
                     help="export a throwaway FNO and compare served "
                          "vs in-process")
+    ap.add_argument("--model", choices=["fno", "unet"], default="fno",
+                    help="selftest model family")
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--grid", type=int, default=64)

@@ -75,6 +75,25 @@ def test_serve_bench_selftest():
         assert isinstance(sec["served_overhead_pct"], float)
 
 
+def test_serve_bench_selftest_unet():
+    """Second model family through the serving path: UNet carries
+    BatchNorm running stats as model_state, so this proves stateful
+    models export/deserialize/serve (the throughput champion —
+    BASELINE.md §cross-family)."""
+    p = run_script(
+        ["scripts/serve_bench.py", "--selftest", "--model", "unet",
+         "--batch", "4", "--grid", "16", "--hidden", "4",
+         "--steps", "3", "--iters", "3"]
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout)["selftest"]
+    assert out["config"]["model"] == "unet"
+    assert out["predict"]["out_shape"] == [4, 16, 16, 2]
+    assert out["rollout"]["out_shape"] == [3, 4, 16, 16, 2]
+    for kind in ("predict", "rollout"):
+        assert out[kind]["frames_per_sec"] > 0
+
+
 def test_locate_cylinder(synth_root):
     case = sorted((synth_root / "cylinder" / "prop").glob("case*"))[0]
     p = run_script(["scripts/locate_cylinder.py", str(case)])
@@ -208,3 +227,56 @@ def test_vae_diagnostics_write(tmp_path):
         )
     )
     assert pts.shape == (8, 2)
+
+
+def test_check_dataset_clean_tree(synth_root):
+    """Readiness kit (docs/MIGRATING.md): a well-formed tree passes with
+    per-problem counts, split preview and read-rate estimates."""
+    p = run_script(
+        ["scripts/check_dataset.py", str(synth_root), "--json",
+         "--sample", "4"]
+    )
+    assert p.returncode == 0, p.stderr
+    out = json.loads(p.stdout)
+    assert out["ok"] is True
+    assert [r["problem"] for r in out["problems"]] == [
+        "cavity", "tube", "dam", "cylinder"
+    ]
+    for r in out["problems"]:
+        assert r["subsets"] == {"prop": 4, "bc": 4, "geo": 4}
+        assert r["split_preview"] == {"train": 9, "dev": 1, "test": 2}
+        assert r["errors"] == []
+        assert r["cases_checked"] == 4
+        assert r["est_full_read_s_numpy"] is not None
+
+
+def test_check_dataset_detects_defects(synth_root, tmp_path):
+    """Corruptions a real download can have — NaN field, missing v.npy,
+    missing required case.json key, single-frame case — are reported as
+    errors and fail the exit code."""
+    import shutil
+
+    root = tmp_path / "data"
+    shutil.copytree(synth_root / "tube", root / "tube")
+    cases = sorted((root / "tube" / "prop").glob("case*"))
+
+    u = np.load(cases[0] / "u.npy")
+    u[0, 0, 0] = np.nan
+    np.save(cases[0] / "u.npy", u)
+    (cases[1] / "v.npy").unlink()
+    cj = json.loads((cases[2] / "case.json").read_text())
+    del cj["vel_in"]
+    (cases[2] / "case.json").write_text(json.dumps(cj))
+    np.save(cases[3] / "u.npy", u[:1])
+
+    p = run_script(
+        ["scripts/check_dataset.py", str(root), "--problems", "tube",
+         "--sample", "999", "--json"]
+    )
+    assert p.returncode == 1
+    out = json.loads(p.stdout)
+    errors = "\n".join(out["problems"][0]["errors"])
+    assert "NaN" in errors
+    assert "missing v.npy" in errors
+    assert "vel_in" in errors
+    assert "no autoregressive pair" in errors
