@@ -103,7 +103,22 @@ def _plot_panels(
     out_path: Path,
 ) -> None:
     """Input/label/pred panels with a shared color scale (reference
-    ``plot_predictions``, ``src/utils/common.py:34-93``)."""
+    ``plot_predictions``, ``src/utils/common.py:34-93``).
+
+    Like the reference's ``plot`` (``src/utils/common.py:102-105``,
+    which torch.saves ``(inp, label, pred)`` to ``tensors/<stem>.pt``
+    beside each image), the raw arrays are dumped to
+    ``tensors/<stem>.npz`` — npz instead of .pt, the same
+    framework-neutral deviation as ``preds.npy`` (MIGRATING.md
+    §behavioral-deltas). Written before the matplotlib import so the
+    data survives even on plotting-less installs."""
+    out_path = Path(out_path)
+    tensor_dir = out_path.parent / "tensors"
+    tensor_dir.mkdir(parents=True, exist_ok=True)
+    arrays = dict(label=np.asarray(label), pred=np.asarray(pred))
+    if inp is not None:
+        arrays["input"] = np.asarray(inp)
+    np.savez(tensor_dir / f"{out_path.stem}.npz", **arrays)
     try:
         import matplotlib
 

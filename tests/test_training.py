@@ -380,3 +380,23 @@ def test_export_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-6
     )
+
+
+def test_plot_predictions_tensor_sidecar(tmp_path):
+    """Each plot panel gets a raw-array sidecar at tensors/<stem>.npz,
+    mirroring the reference's tensors/<stem>.pt dumps next to every
+    image (src/utils/common.py:102-105; .pt -> .npz is the documented
+    framework-neutral deviation)."""
+    import numpy as np
+
+    from cfdbench_tpu.utils.artifacts import plot_predictions
+
+    inp = np.arange(16.0).reshape(4, 4)
+    label = inp + 1
+    pred = inp + 2
+    plot_predictions(inp, label, pred, tmp_path, step=3)
+    with np.load(tmp_path / "tensors" / "step-3.npz") as z:
+        np.testing.assert_array_equal(z["input"], inp)
+        np.testing.assert_array_equal(z["label"], label)
+        np.testing.assert_array_equal(z["pred"], pred)
+    assert (tmp_path / "step-3.png").exists()
