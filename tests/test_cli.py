@@ -281,3 +281,67 @@ def test_multistep_sharded_matches_single_device(synth_root, out_root):
             assert abs(a[k] - b[k]) <= 1e-6 * max(1.0, abs(a[k])), (
                 k, a, b,
             )
+
+
+def test_export_model_unet_end_to_end(synth_root, out_root):
+    """scripts/export_model.py through the checkpoint path on a second
+    model family: train a tiny UNet, export its best checkpoint to
+    StableHLO (BatchNorm running stats baked in as model_state), reload
+    the artifact with no model code, and check it reproduces the
+    in-process prediction."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, "scripts")
+    import export_model
+
+    from cfdbench_tpu.cli import make_auto_task
+    from cfdbench_tpu.config import Args
+    from cfdbench_tpu.training.checkpoints import load_best_params
+    from cfdbench_tpu.utils.artifacts import get_output_dir
+    from cfdbench_tpu.utils.export import load_exported
+
+    out = out_root / "export_unet"
+    argv = [
+        "--model", "unet", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--output_dir", str(out),
+        "--unet_dim", "4", "--batch_size", "4",
+        "--eval_batch_size", "4",
+    ]
+    main_auto(argv + [
+        "--num_epochs", "1", "--eval_interval", "1",
+        "--log_interval", "100", "--mode", "train",
+    ])
+    export_model.main(argv)
+
+    args = Args.parse_args(argv)
+    run = get_output_dir(args, is_auto=True)
+    assert (run / "serve" / "predict.stablehlo").exists()
+    assert (run / "serve" / "rollout.stablehlo").exists()
+
+    # Serve the artifact and compare against the in-process forward
+    # with the same best checkpoint.
+    B, H, W = 4, 16, 16
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32)
+    cp = jnp.asarray(rng.standard_normal((B, 5)), jnp.float32)
+    mask = jnp.ones((B, H, W, 1), jnp.float32)
+    served = load_exported(run / "serve" / "predict.stablehlo")(
+        frame, cp, mask
+    )
+
+    task = make_auto_task(args, n_case_params=5, field_shape=(H, W))
+    sample = dict(inputs=frame, labels=frame, mask=mask, case_params=cp)
+    template = jax.eval_shape(
+        lambda: task.init_params(jax.random.PRNGKey(0), sample)
+    )
+    variables = dict(load_best_params(template, run))
+    params = variables.pop("params")
+    live = task.predict_frame(params, frame, cp, mask,
+                              model_state=variables)
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(live), atol=1e-5
+    )
