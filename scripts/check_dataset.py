@@ -171,6 +171,14 @@ def _estimate_cache_build(sample_files, total_bytes, report):
 
 
 def check_problem(root: Path, problem: str, sample: int) -> dict:
+    report = _check_problem(root, problem, sample)
+    # Every exit path (incl. missing-dir early returns) must leave the
+    # report JSON-serializable: shapes is a set during collection.
+    report["shapes"] = sorted(str(s) for s in report["shapes"])
+    return report
+
+
+def _check_problem(root: Path, problem: str, sample: int) -> dict:
     report = dict(
         problem=problem, subsets={}, errors=[], warnings=[],
         shapes=set(), frames=0, total_bytes=0, cases_total=0,
@@ -239,7 +247,6 @@ def check_problem(root: Path, problem: str, sample: int) -> dict:
             f"{problem}: multiple grid shapes {sorted(report['shapes'])} "
             "— batches cannot mix shapes"
         )
-    report["shapes"] = sorted(str(s) for s in report["shapes"])
     return report
 
 

@@ -280,3 +280,14 @@ def test_check_dataset_detects_defects(synth_root, tmp_path):
     assert "missing v.npy" in errors
     assert "vel_in" in errors
     assert "no autoregressive pair" in errors
+
+    # A problem dir that doesn't exist at all must still produce valid
+    # --json output (early-return path), not a serialization crash.
+    p = run_script(
+        ["scripts/check_dataset.py", str(root), "--problems",
+         "tube,cavity", "--json"]
+    )
+    assert p.returncode == 1
+    out = json.loads(p.stdout)
+    missing = [r for r in out["problems"] if r["problem"] == "cavity"][0]
+    assert any("directory missing" in e for e in missing["errors"])
