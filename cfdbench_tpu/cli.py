@@ -450,7 +450,7 @@ def main_multistep(argv=None) -> None:
     # case count is padded to a multiple of dp by repeating the last
     # case; padding replicas carry weight 0 so the reported per-step
     # means equal the unpadded single-device result exactly
-    # (tests/test_parallel.py::test_multistep_cli_sharded_matches_single).
+    # (tests/test_cli.py::test_multistep_sharded_matches_single_device).
     from .parallel.mesh import (
         DATA_AXIS,
         batch_sharding,

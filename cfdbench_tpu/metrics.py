@@ -55,21 +55,29 @@ def score_dict(
         lab1 = jnp.sum(w * jnp.abs(labels)) / denom
     result = dict(mse=mse, rmse=jnp.sqrt(mse), mae=mae)
     if normalize:
-        # Guard ONLY the exact all-padding case (weights all zero →
-        # label energy identically 0 → 0/0 would poison the device-side
-        # epoch stack with NaN): divide by the true energy whenever it
-        # is nonzero — bit-exact vs the reference's unguarded division
-        # for every real batch, including tiny-but-normal label energies
-        # below 1e-30 (a maximum()-style clamp would silently alter
-        # those). The where-in-denominator keeps gradients NaN-free when
-        # nmse/nmae is the training loss.
+        # Guard ONLY the exactly-all-zero-labels case (all-padding
+        # batches, or a genuinely zero label field, where the
+        # reference's 0/0 would poison the device-side epoch stack
+        # with NaN) — detected via max|label|, which cannot underflow.
+        # Keying on the summed energy instead would misfire when
+        # squares of tiny-but-nonzero labels flush to zero (FTZ): that
+        # must stay the reference's unguarded division (inf), not a
+        # silent "perfect" 0. For nonzero labels the division by the
+        # true energy is bit-exact vs the reference. The
+        # where-in-denominator keeps gradients NaN-free on the guarded
+        # branch when nmse/nmae is the training loss.
+        absmax = jnp.max(
+            jnp.abs(labels) if sample_weights is None
+            else w * jnp.abs(labels)
+        )
+        valid = absmax > 0
         one = jnp.asarray(1.0, lab2.dtype)
         zero = jnp.asarray(0.0, lab2.dtype)
         result["nmse"] = jnp.where(
-            lab2 > 0, mse / jnp.where(lab2 > 0, lab2, one), zero
+            valid, mse / jnp.where(valid, lab2, one), zero
         )
         result["nmae"] = jnp.where(
-            lab1 > 0, mae / jnp.where(lab1 > 0, lab1, one), zero
+            valid, mae / jnp.where(valid, lab1, one), zero
         )
     return result
 

@@ -14,8 +14,8 @@ a run will see:
 - ``case.json`` carries every key the problem's loader + normalization
   consume (``cfdbench_tpu/data/core.py``; dam additionally needs the
   barrier/grid keys its mask math reads, dam.py:51-110)
-- per-problem/subset case counts and the 80/10/10 split sizes
-  (int-floored like ``src/dataset/tube.py:360-365``)
+- per-problem/subset case counts and the 80/10/10 split sizes, computed
+  by the framework's own splitter (``data/core.py::split_cases``)
 - an estimated cache-build (full tree read) time, measured from the
   sampled files, with and without the native C++ reader
   (``cfdbench_tpu/native``)
@@ -43,23 +43,13 @@ sys.path.insert(0, str(REPO_ROOT))
 
 from cfdbench_tpu import native  # noqa: E402
 from cfdbench_tpu.data import fast_io  # noqa: E402
-from cfdbench_tpu.data.core import BC_KEY, PROBLEMS  # noqa: E402
+from cfdbench_tpu.data.core import (  # noqa: E402
+    PROBLEMS,
+    REQUIRED_CASE_KEYS,
+    split_cases,
+)
 
 SUBSETS = ("prop", "bc", "geo")
-
-# Keys each loader + normalize_case_params consume (data/core.py).
-REQUIRED_KEYS = {
-    "cavity": {"vel_top", "density", "viscosity"},
-    "tube": {"vel_in", "density", "viscosity"},
-    "dam": {
-        "velocity", "density", "viscosity", "height", "width",
-        "barrier_width", "barrier_height", "dx", "dy",
-    },
-    "cylinder": {
-        "vel_in", "density", "viscosity",
-        "x_min", "x_max", "y_min", "y_max", "radius",
-    },
-}
 # Keys the conditioning vector additionally expects (params_to_vector
 # keeps them; the paper's 5-param problems include height/width).
 EXPECTED_KEYS = {
@@ -118,7 +108,7 @@ def _check_case(problem: str, case_dir: Path, report: dict) -> int:
         report["frames"] += arrays["u.npy"].shape[0]
 
     if isinstance(params, dict):
-        missing = REQUIRED_KEYS[problem] - params.keys()
+        missing = REQUIRED_CASE_KEYS[problem] - params.keys()
         if missing:
             errors.append(
                 f"{rel}/case.json: missing required keys {sorted(missing)}"
@@ -210,16 +200,18 @@ def _check_problem(root: Path, problem: str, sample: int) -> dict:
         report["errors"].append(f"{pdir}: no cases in any subset")
         return report
 
-    # 80/10/10 split preview with the reference's int() floors.
-    n = len(all_cases)
-    n_train, n_dev = int(n * 0.8), int(n * 0.1)
+    # 80/10/10 split preview computed by the framework's actual
+    # splitter (data/core.py::split_cases, round()-based) — not a
+    # re-implementation, so the preview is exactly what a run sees.
+    tr, dv, te = split_cases(all_cases)
     report["split_preview"] = dict(
-        train=n_train, dev=n_dev, test=n - n_train - n_dev
+        train=len(tr), dev=len(dv), test=len(te)
     )
-    if n_dev == 0:
+    if min(len(tr), len(dv), len(te)) == 0:
         report["errors"].append(
-            f"{problem}: only {n} cases — dev split is empty "
-            "(need >= 10 per subset grammar used)"
+            f"{problem}: {len(all_cases)} cases split to "
+            f"{len(tr)}/{len(dv)}/{len(te)} — the loaders assert every "
+            "split is non-empty; add cases or merge subsets"
         )
 
     # Byte totals from stat (cheap, full tree).
@@ -230,7 +222,9 @@ def _check_problem(root: Path, problem: str, sample: int) -> dict:
                 report["total_bytes"] += p.stat().st_size
 
     # Deep-check an evenly spaced sample across subsets.
-    idx = np.linspace(0, len(all_cases) - 1, min(sample, n)).astype(int)
+    idx = np.linspace(
+        0, len(all_cases) - 1, min(sample, len(all_cases))
+    ).astype(int)
     sampled = [all_cases[i] for i in sorted(set(idx.tolist()))]
     for c in sampled:
         _check_case(problem, c, report)

@@ -126,17 +126,15 @@ def main(argv=None) -> None:
 
     out_root = get_output_dir(args, is_auto=args.model not in NONAUTO)
     ckpt_dir = out_root / f"ckpt-{ep}"
-    checkpoints.save_params(variables, ckpt_dir)
 
+    # A dev_loss=0.0 stub unconditionally wins best-checkpoint
+    # selection; refuse when real locally-trained scores already exist
+    # in this result dir unless the user forces it (ADVICE r4 #3).
+    # The guard MUST run before save_params: a refused import must
+    # leave the target ckpt dir untouched, not overwrite a same-epoch
+    # local checkpoint's weights and then claim it refused.
     src_scores = src.parent / "scores.json"
-    if src_scores.exists():
-        shutil.copy(src_scores, ckpt_dir / "scores.json")
-        print(f"copied reference scores.json (dev-loss preserved)")
-    else:
-        # A dev_loss=0.0 stub unconditionally wins best-checkpoint
-        # selection; refuse when real locally-trained scores already
-        # exist in this result dir unless the user forces it
-        # (ADVICE r4 #3).
+    if not src_scores.exists():
         others = [
             p for p in out_root.glob("ckpt-*/scores.json")
             if p.parent != ckpt_dir
@@ -150,6 +148,13 @@ def main(argv=None) -> None:
                 "write the stub anyway, or place the import in a fresh "
                 "--output_dir."
             )
+
+    checkpoints.save_params(variables, ckpt_dir)
+
+    if src_scores.exists():
+        shutil.copy(src_scores, ckpt_dir / "scores.json")
+        print(f"copied reference scores.json (dev-loss preserved)")
+    else:
         checkpoints.save_epoch_scores(
             ckpt_dir, ep=ep, train_loss=0.0, dev_loss=0.0, time_s=0.0
         )

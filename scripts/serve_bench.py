@@ -175,8 +175,8 @@ def main(argv=None) -> None:
     ap.add_argument("--artifact", type=Path, default=None,
                     help="path to a .stablehlo artifact to time")
     ap.add_argument("--selftest", action="store_true",
-                    help="export a throwaway FNO and compare served "
-                         "vs in-process")
+                    help="export a throwaway model (--model fno|unet) "
+                         "and compare served vs in-process")
     ap.add_argument("--model", choices=["fno", "unet"], default="fno",
                     help="selftest model family")
     ap.add_argument("--iters", type=int, default=12)

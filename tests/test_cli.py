@@ -270,8 +270,9 @@ def test_multistep_sharded_matches_single_device(synth_root, out_root):
     main_multistep(common + ["--mesh_shape", "1"])
     single = json.loads((run / "multistep_metrics.json").read_text())
 
-    # The synthetic test split has 3 cases — NOT a multiple of 8, so
-    # this exercises the pad-and-weight-out path, not just sharding.
+    # The synthetic test split has 1 case (12 cases -> 10/1/1) — NOT a
+    # multiple of 8, so this exercises the pad-and-weight-out path
+    # (7 weight-0 replicas), not just sharding.
     main_multistep(common + ["--mesh_shape", "8x1"])
     sharded = json.loads((run / "multistep_metrics.json").read_text())
 
@@ -290,12 +291,15 @@ def test_export_model_unet_end_to_end(synth_root, out_root):
     the artifact with no model code, and check it reproduces the
     in-process prediction."""
     import sys
+    from pathlib import Path
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    sys.path.insert(0, "scripts")
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "scripts")
+    )
     import export_model
 
     from cfdbench_tpu.cli import make_auto_task

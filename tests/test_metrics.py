@@ -80,3 +80,21 @@ def test_tiny_nonzero_label_energy_divides_exactly():
     z = np.zeros((2, 3, 3), dtype=np.float32)
     s0 = score_dict(z, z, normalize=True)
     assert float(s0["nmse"]) == 0.0 and float(s0["nmae"]) == 0.0
+
+
+def test_underflowed_label_energy_is_not_scored_perfect():
+    """Nonzero labels whose SQUARED energy underflows f32 (or flushes
+    to zero under the TPU's FTZ) must not come back as nmse=0
+    ("perfect"): the all-zero guard keys on max|label| — which cannot
+    underflow — so this case takes the reference's unguarded division
+    and explodes instead of silently passing (round-5 review finding)."""
+    labels = np.full((2, 3, 3), 1e-24, dtype=np.float32)  # sq -> 1e-48
+    preds = np.full((2, 3, 3), 3e-24, dtype=np.float32)
+    s = score_dict(preds, labels, normalize=True)
+    nmse = float(s["nmse"])
+    # CPU keeps subnormals (huge finite ratio); TPU flushes to 0 (inf).
+    # Either way: emphatically not a perfect score.
+    assert not np.isclose(nmse, 0.0)
+    assert nmse > 1e6 or np.isinf(nmse) or np.isnan(nmse)
+    # nmae divides by mean|label| = 1e-24 (normal): exact ratio 2.
+    assert np.isclose(float(s["nmae"]), 2.0, rtol=1e-5)

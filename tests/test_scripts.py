@@ -244,7 +244,9 @@ def test_check_dataset_clean_tree(synth_root):
     ]
     for r in out["problems"]:
         assert r["subsets"] == {"prop": 4, "bc": 4, "geo": 4}
-        assert r["split_preview"] == {"train": 9, "dev": 1, "test": 2}
+        # Must match the framework's round()-based split_cases (12
+        # cases -> 10/1/1), not a re-derived int() floor.
+        assert r["split_preview"] == {"train": 10, "dev": 1, "test": 1}
         assert r["errors"] == []
         assert r["cases_checked"] == 4
         assert r["est_full_read_s_numpy"] is not None

@@ -305,3 +305,23 @@ def test_import_script_end_to_end(tmp_path):
     )
     assert r2.returncode != 0
     assert "does not match the model" in r2.stderr
+
+    # A refused import (stub would beat real local scores) must leave
+    # the target ckpt dir UNTOUCHED — the guard runs before any write,
+    # so a same-epoch local checkpoint's weights are never replaced by
+    # an import that then claims it refused (round-5 review finding).
+    import json
+
+    local = ckpt.parent / "ckpt-3"
+    local.mkdir()
+    (local / "scores.json").write_text(json.dumps(
+        dict(ep=3, train_loss=0.1, dev_loss=0.05, time_s=1.0)
+    ))
+    r3 = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "import_reference_checkpoint.py")]
+        + flags + ["--as_epoch", "3"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r3.returncode != 0
+    assert "--force" in r3.stderr
+    assert sorted(p.name for p in local.iterdir()) == ["scores.json"]
