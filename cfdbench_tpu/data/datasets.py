@@ -11,6 +11,7 @@ case-param vectorization) match the reference exactly.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -237,38 +238,60 @@ def build_auto_dataset(
         ).hexdigest()[:16]
         cache_file = Path(cache_dir) / f"{problem}-{key}.npz"
         if cache_file.exists():
-            with np.load(cache_file, allow_pickle=True) as z:
-                n_cases = int(z["n_cases"])
-                return AutoDataset(
-                    inputs=z["inputs"],
-                    labels=z["labels"],
-                    masks=z["masks"],
-                    case_params=z["case_params"],
-                    case_ids=z["case_ids"],
-                    all_features=[
-                        z[f"features_{i}"] for i in range(n_cases)
-                    ],
-                    case_params_list=list(z["case_params_list"]),
-                )
+            # An unreadable cache (truncated by a killed writer before
+            # the atomic-save fix, or a corrupt disk) is a miss, not a
+            # permanent failure: rebuild and overwrite.
+            try:
+                with np.load(cache_file, allow_pickle=True) as z:
+                    n_cases = int(z["n_cases"])
+                    return AutoDataset(
+                        inputs=z["inputs"],
+                        labels=z["labels"],
+                        masks=z["masks"],
+                        case_params=z["case_params"],
+                        case_ids=z["case_ids"],
+                        all_features=[
+                            z[f"features_{i}"] for i in range(n_cases)
+                        ],
+                        case_params_list=list(z["case_params_list"]),
+                    )
+            except Exception as e:
+                print(f"[data] cache {cache_file} unreadable "
+                      f"({type(e).__name__}: {e}); rebuilding")
         ds = build_auto_dataset(
             problem, case_dirs, norm_props, norm_bc,
             delta_time=delta_time, stable_state_diff=stable_state_diff,
         )
         cache_file.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(
-            cache_file,
-            inputs=ds.inputs,
-            labels=ds.labels,
-            masks=ds.masks,
-            case_params=ds.case_params,
-            case_ids=ds.case_ids,
-            n_cases=len(ds.all_features),
-            case_params_list=np.asarray(ds.case_params_list, dtype=object),
-            **{
-                f"features_{i}": f
-                for i, f in enumerate(ds.all_features)
-            },
+        # Write-to-temp + os.replace: a killed writer (wedge-timeout
+        # SIGKILL, OOM) can never leave a truncated npz under the final
+        # name, and concurrent builders of the same key race safely
+        # (same scheme as training/checkpoints.py, ADVICE r4 #4).
+        tmp = cache_file.with_name(
+            f".{cache_file.name}.{os.getpid()}.tmp"
         )
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f,
+                    inputs=ds.inputs,
+                    labels=ds.labels,
+                    masks=ds.masks,
+                    case_params=ds.case_params,
+                    case_ids=ds.case_ids,
+                    n_cases=len(ds.all_features),
+                    case_params_list=np.asarray(
+                        ds.case_params_list, dtype=object
+                    ),
+                    **{
+                        f"features_{i}": f
+                        for i, f in enumerate(ds.all_features)
+                    },
+                )
+            os.replace(tmp, cache_file)
+        finally:
+            if tmp.exists():  # failed before the rename
+                tmp.unlink()
         return ds
 
     assert len(case_dirs) > 0, (

@@ -84,7 +84,10 @@ def device_prefetch(batch_iter, size: int = 2, sharding_fn=None):
         else:
             b = jax.device_put(b)
         q.append(b)
-        if len(q) > size:
+        # >= keeps at most ``size`` transferred-but-unconsumed batches
+        # resident (the documented depth); > would silently hold
+        # size+1, an extra batch of HBM at large shapes.
+        if len(q) >= size:
             yield q.popleft()
     while q:
         yield q.popleft()

@@ -42,7 +42,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
     _SHARD_KW = {"check_rep": False}
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import (
     broadcast_params_to_channels,
@@ -81,17 +81,71 @@ def stack_stage_params(params, n_stages: int, num_layers: int):
     return stages, params["Dense_0"], params["Dense_1"], params["Dense_2"]
 
 
+def pp_pack_params(params, n_stages: int, num_layers: int):
+    """Standard flax FNO tree → the pp training layout: stacked stage
+    blocks + the replicated lift/head parts, as one dict pytree.
+
+    Packing ONCE at trainer setup (instead of restacking inside every
+    jitted step) removes a ~params-sized HBM copy from each step's
+    forward (plus its unstack in the backward) — pp targets exactly the
+    wide configs where spectral weights dominate traffic
+    (BASELINE.md §anatomy)."""
+    stages, lift, fc1, fc2 = stack_stage_params(
+        params, n_stages, num_layers
+    )
+    return dict(stages=stages, lift=lift, fc1=fc1, fc2=fc2)
+
+
+def pp_unpack_params(pp_params, num_layers: int):
+    """Inverse of :func:`pp_pack_params` — back to the standard flax
+    tree (for eval, ckpt-{ep} saves, and the trainer's return value, so
+    the on-disk checkpoint format is identical to non-pp runs)."""
+    stages = pp_params["stages"]
+    S = jax.tree.leaves(stages)[0].shape[0]
+    per = num_layers // S
+    out = {
+        "Dense_0": pp_params["lift"],
+        "Dense_1": pp_params["fc1"],
+        "Dense_2": pp_params["fc2"],
+    }
+    for s in range(S):
+        for j in range(per):
+            out[f"FnoBlock_{s * per + j}"] = jax.tree.map(
+                lambda a, s=s, j=j: a[s, j], stages
+            )
+    return out
+
+
+def pp_param_shardings(mesh: Mesh, pp_params):
+    """NamedSharding tree for the packed layout: stage blocks sharded
+    1/S over the model axis (each chip holds only its own stages'
+    params — and, via ``tx.init`` on this tree, only its own optimizer
+    moments), lift/head replicated."""
+    staged = NamedSharding(mesh, P(MODEL_AXIS))
+    rep = NamedSharding(mesh, P())
+    return dict(
+        stages=jax.tree.map(lambda _: staged, pp_params["stages"]),
+        lift=jax.tree.map(lambda _: rep, pp_params["lift"]),
+        fc1=jax.tree.map(lambda _: rep, pp_params["fc1"]),
+        fc2=jax.tree.map(lambda _: rep, pp_params["fc2"]),
+    )
+
+
 def make_pipelined_fno_forward(
     model,
     mesh: Mesh,
     n_micro: int,
     n_stages: Optional[int] = None,
+    prestacked: bool = False,
 ):
     """Build ``fn(params, inputs, case_params, mask) -> preds`` running
     the FNO forward pipeline-parallel over ``mesh``'s ``model`` axis.
 
     ``params`` is the standard single-device flax tree (restacked
-    internally, so the same checkpoint drives pp and non-pp paths).
+    internally, so the same checkpoint drives pp and non-pp paths) —
+    or, with ``prestacked=True``, the :func:`pp_pack_params` layout
+    (the trainer's steady-state path: no per-step restack, stage
+    params stay sharded 1/S over the model axis).
     The global batch must divide into ``n_micro`` microbatches, and the
     per-dp-shard microbatch must be whole.
     """
@@ -241,9 +295,15 @@ def make_pipelined_fno_forward(
     def fn(params, inputs, case_params, mask):
         B, H, W, _ = inputs.shape
         mask = ensure_mask(mask, B, H, W)
-        stages, lift_p, fc1_p, fc2_p = stack_stage_params(
-            params, S, model.num_layers
-        )
+        if prestacked:
+            stages, lift_p, fc1_p, fc2_p = (
+                params["stages"], params["lift"],
+                params["fc1"], params["fc2"],
+            )
+        else:
+            stages, lift_p, fc1_p, fc2_p = stack_stage_params(
+                params, S, model.num_layers
+            )
         return sharded(
             stages, lift_p, fc1_p, fc2_p, inputs, case_params, mask
         )

@@ -90,16 +90,21 @@ def _explain_tree_mismatch(ckpt_path: Path, err: Exception) -> None:
 def load_params(template: Any, ckpt_dir: Path) -> Any:
     ckpt_dir = Path(ckpt_dir)
     if _HAS_ORBAX:
-        # backup_model is the rotated previous save — used when a kill
-        # landed between save_params' rotation steps (see save_params).
+        # backup_model is the rotated previous save — used when model/
+        # is missing (kill between save_params' rotation steps) AND
+        # when model/ exists but restore fails (kill mid-Orbax-write
+        # left a partial dir): the rotation scheme's promise is that
+        # one of the two is always intact.
+        last_err = None
         for name in ("model", "backup_model"):
             path = ckpt_dir / name
             if not path.exists():
                 continue
             if name == "backup_model":
                 print(
-                    f"[checkpoints] {ckpt_dir / 'model'} missing; "
-                    "restoring from backup_model (interrupted save)"
+                    f"[checkpoints] {ckpt_dir / 'model'} missing or "
+                    "unreadable; restoring from backup_model "
+                    "(interrupted save)"
                 )
             with ocp.StandardCheckpointer() as ckptr:
                 target = jax.tree.map(
@@ -108,10 +113,47 @@ def load_params(template: Any, ckpt_dir: Path) -> Any:
                 try:
                     return ckptr.restore(path.absolute(), target)
                 except Exception as e:
+                    # Structure mismatches are user errors — explain
+                    # and abort, don't paper over with a backup that
+                    # would mismatch identically.
                     _explain_tree_mismatch(path, e)
-                    raise
-    data = (ckpt_dir / "model.msgpack").read_bytes()
-    return serialization.from_bytes(template, data)
+                    last_err = e
+        if last_err is not None:
+            raise last_err
+    msgpack = ckpt_dir / "model.msgpack"
+    if not msgpack.exists() and _HAS_ORBAX:
+        # Nothing restorable: name the real problem (no model/ or
+        # backup_model/ under an Orbax install), not a msgpack file
+        # this install never writes.
+        raise FileNotFoundError(
+            f"no checkpoint under {ckpt_dir}: neither model/ nor "
+            "backup_model/ exists (nor a legacy model.msgpack)"
+        )
+    return serialization.from_bytes(template, msgpack.read_bytes())
+
+
+def resume_shardings(state: Any, mesh) -> Any:
+    """Sharding tree for re-placing a restored training state on a
+    mesh (shared by every trainer's ``--resume`` block).
+
+    Leaves that were mesh-placed keep their ``NamedSharding``;
+    everything else — optimizer scalars like Adam's ``count``, created
+    *uncommitted* by ``tx.init`` and therefore carrying a
+    ``SingleDeviceSharding`` — is replicated. Snapshotting those
+    single-device shardings verbatim would COMMIT the restored leaf to
+    one device and poison the first jitted step with mixed device sets
+    ("Received incompatible devices for jitted computation")."""
+    from jax.sharding import NamedSharding
+
+    from ..parallel.mesh import replicated_sharding
+
+    rep = replicated_sharding(mesh)
+    return jax.tree.map(
+        lambda x: x.sharding
+        if isinstance(getattr(x, "sharding", None), NamedSharding)
+        else rep,
+        state,
+    )
 
 
 def get_best_ckpt(output_dir: Path) -> Optional[Path]:

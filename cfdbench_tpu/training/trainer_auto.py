@@ -217,14 +217,24 @@ def make_pp_train_step(
     tx: optax.GradientTransformation,
     mesh,
     n_micro: int,
+    prestacked: bool = False,
 ):
     """Training step whose forward runs pipeline-parallel over the
     mesh's model axis (``parallel.pipeline.make_pipelined_fno_forward``
     — GPipe microbatching, dp × pp). The gradient flows through the
     whole pipeline (scan + ppermute are differentiable), so updates
     equal the single-device ones exactly (tests/test_parallel.py).
-    ``params`` stay in the standard flax tree — the same checkpoints
-    drive pp and non-pp runs. FNO only (the only benchmark model deep
+
+    ``prestacked=False``: ``state.params`` is the standard flax tree,
+    restacked inside every step (simple, layout-free — what the parity
+    tests exercise against the single-device step). ``prestacked=True``
+    is the trainer's steady-state path: ``state.params`` (and hence the
+    optimizer state from ``tx.init``) live in the
+    ``parallel.pipeline.pp_pack_params`` layout, stage blocks sharded
+    1/S over the model axis — no per-step restack copy, and each chip
+    holds only its own stages' params + Adam moments. Checkpoints are
+    unpacked back to the standard tree, so the on-disk format is
+    identical either way. FNO only (the only benchmark model deep
     enough to stage); mixed precision follows ``task.compute_dtype``.
     """
     from ..models.fno import Fno2d
@@ -234,7 +244,9 @@ def make_pp_train_step(
         "--pp_microbatches supports --model fno (the staged-depth "
         f"model); got {type(task.model).__name__}"
     )
-    fwd = make_pipelined_fno_forward(task.model, mesh, n_micro=n_micro)
+    fwd = make_pipelined_fno_forward(
+        task.model, mesh, n_micro=n_micro, prestacked=prestacked
+    )
 
     def train_step(state: TrainState, batch):
         def lf(params):
@@ -519,12 +531,35 @@ def train(
         and mesh is not None
         and mesh.shape.get("model", 1) > 1
     )
+    if pp_microbatches and not use_pp:
+        # The flag convention here is "mistakes are loud, never silent
+        # fallbacks" (config.py boolean-literal parsing): a requested
+        # pipeline run must not quietly train plain-DP because the mesh
+        # has no model axis to split stages over.
+        raise ValueError(
+            f"--pp_microbatches {pp_microbatches} requires a mesh with "
+            f"a model axis > 1 (got "
+            f"{dict(mesh.shape) if mesh is not None else None}); pass "
+            "--mesh_shape NxM with M > 1, or drop --pp_microbatches"
+        )
     if mesh is not None:
         if use_pp:
-            # pp: the pipelined forward shard_maps the standard param
-            # tree itself (stage params sliced over the model axis per
-            # step); keep the stored params replicated.
-            params = jax.device_put(params, replicated_sharding(mesh))
+            # pp steady-state layout: stage blocks packed once
+            # (pp_pack_params) and sharded 1/S over the model axis —
+            # no per-step restack copy, and tx.init below places the
+            # optimizer moments on the same 1/S shards. Eval/ckpt
+            # paths unpack back to the standard tree (std_params).
+            from ..parallel.pipeline import (
+                pp_pack_params,
+                pp_param_shardings,
+            )
+
+            params = pp_pack_params(
+                params, mesh.shape["model"], task.model.num_layers
+            )
+            params = jax.device_put(
+                params, pp_param_shardings(mesh, params)
+            )
         else:
             # TP: large weight matrices sharded over the model axis
             # (no-op on a 1-wide model axis); optimizer state inherits
@@ -553,7 +588,7 @@ def train(
 
         meta = load_json(meta_path)
         state_shardings = (
-            jax.tree.map(lambda x: x.sharding, state)
+            checkpoints.resume_shardings(state, mesh)
             if mesh is not None else None
         )
         restored = checkpoints.load_params(jax.device_get(state), resume_dir)
@@ -565,9 +600,18 @@ def train(
             state = jax.device_put(state, state_shardings)
         start_epoch = meta["epoch"] + 1
         global_step_resumed = meta.get("global_step", 0)
+        # The running loss history is checkpointed alongside the
+        # training state; without this, a resumed run's final
+        # train_losses.json would silently drop every pre-resume epoch
+        # (the result-dir layout is an API — see module docstring).
+        losses_path = output_dir / "train_losses.json"
+        train_losses_resumed = (
+            load_json(losses_path) if losses_path.exists() else []
+        )
         print(f"Resumed from epoch {meta['epoch']}")
     else:
         global_step_resumed = 0
+        train_losses_resumed = []
 
     if use_pp:
         print(
@@ -575,10 +619,24 @@ def train(
             f"{pp_microbatches} microbatches (+{mesh.shape['data']}-way dp)"
         )
         train_step = make_pp_train_step(
-            task, tx, mesh, n_micro=pp_microbatches
+            task, tx, mesh, n_micro=pp_microbatches, prestacked=True
         )
+        from ..parallel.pipeline import pp_unpack_params
+
+        _unpack = jax.jit(
+            lambda p: pp_unpack_params(p, task.model.num_layers)
+        )
+
+        def std_params(p):
+            # Standard flax tree, replicated — for eval / example
+            # plots / ckpt-{ep} saves / the returned state. One S-way
+            # gather per eval interval, nothing per step.
+            return jax.device_put(_unpack(p), replicated_sharding(mesh))
     else:
         train_step = make_train_step(task, tx, seed=seed)
+
+        def std_params(p):
+            return p
     if getattr(task, "generative", False):
         # Diffusion dev eval generates frames and scores them (masked
         # frame MSE/NMSE, reference evaluate_ldm) — cap the batches.
@@ -604,7 +662,7 @@ def train(
 
     start_time = time.time()
     global_step = global_step_resumed
-    train_losses = []
+    train_losses = list(train_losses_resumed)
     objective = task.loss_fn.objective
 
     sharding_fn = default_sharding_fn(mesh, spatial=spatial)
@@ -667,15 +725,16 @@ def train(
                 print("  (memory stats unavailable on this backend)")
             print("Time usage:")
             print(time.time() - ep_start)
-            return state
+            return state._replace(params=std_params(state.params))
 
         train_losses += ep_losses
         if (ep + 1) % eval_interval == 0:
             ckpt_dir = output_dir / f"ckpt-{ep}"
             ckpt_dir.mkdir(parents=True, exist_ok=True)
+            eval_params = std_params(state.params)
             result = evaluate(
                 task,
-                state.params,
+                eval_params,
                 dev_data,
                 ckpt_dir,
                 model_state=state.model_state,
@@ -703,7 +762,7 @@ def train(
                 )
                 if mesh is not None:
                     pb = jax.device_put(pb, batch_sharding(mesh))
-                pred = predict_fn(state.params, state.model_state, pb)
+                pred = predict_fn(eval_params, state.model_state, pb)
                 plot_example(
                     inp=np.asarray(pb["inputs"][0, ..., 0]),
                     label=np.asarray(pb["labels"][0, ..., 0]),
@@ -713,7 +772,7 @@ def train(
             dump_json(dev_scores, ckpt_dir / "dev_scores.json")
             dump_json(ep_losses, ckpt_dir / "train_loss.json")
             checkpoints.save_params(
-                {"params": state.params, **state.model_state}, ckpt_dir
+                {"params": eval_params, **state.model_state}, ckpt_dir
             )
             dev_key = "nmse" if "nmse" in dev_scores["all"] else objective
             checkpoints.save_epoch_scores(
@@ -732,10 +791,16 @@ def train(
                 dict(epoch=ep, global_step=global_step),
                 output_dir / "training_meta.json",
             )
+            # Keep the loss history restorable across --resume (and
+            # crash-survivable: the final dump below never runs on an
+            # interrupted process).
+            dump_json(train_losses, output_dir / "train_losses.json")
     print("====== Training done ======")
     dump_json(train_losses, output_dir / "train_losses.json")
     plot_loss(train_losses, output_dir / "train_losses.png")
-    return state
+    # Callers (test eval, export) always see the standard flax tree;
+    # the packed pp layout is an internal training-state detail.
+    return state._replace(params=std_params(state.params))
 
 
 def test(

@@ -148,7 +148,7 @@ def train_gencast(
 
         meta = load_json(meta_path)
         state_shardings = (
-            jax.tree.map(lambda x: x.sharding, state)
+            checkpoints.resume_shardings(state, mesh)
             if mesh is not None else None
         )
         state = checkpoints.load_params(

@@ -250,6 +250,17 @@ def train(
         start_epoch = meta["epoch"] + 1
         print(f"Resumed from epoch {meta['epoch']}")
 
+    # Restore the loss history so a resumed run's final
+    # train_losses.json keeps the pre-resume epochs (checkpointed in
+    # the eval block below; the artifact layout is an API).
+    from ..data.core import load_json as _load_json
+
+    losses_path = output_dir / "train_losses.json"
+    train_losses_resumed = (
+        _load_json(losses_path)
+        if start_epoch > 0 and losses_path.exists() else []
+    )
+
     train_step = make_train_step(task, tx, seed, (H, W))
     eval_step = make_eval_step(task, (H, W))
 
@@ -264,7 +275,7 @@ def train(
 
     start_time = time.time()
     global_step = start_epoch * steps_per_epoch
-    all_train_losses = []
+    all_train_losses = list(train_losses_resumed)
     objective = task.loss_fn.objective
 
     sharding_fn = default_sharding_fn(mesh)
@@ -336,6 +347,12 @@ def train(
             dump_json(
                 dict(epoch=ep, global_step=global_step),
                 output_dir / "training_meta.json",
+            )
+            # Loss history checkpoint for --resume (this epoch's
+            # losses are appended below, so include them here).
+            dump_json(
+                all_train_losses + ep_losses,
+                output_dir / "train_losses.json",
             )
         all_train_losses += ep_losses
     dump_json(all_train_losses, output_dir / "train_losses.json")

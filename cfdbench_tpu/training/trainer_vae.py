@@ -160,7 +160,7 @@ def train_vae(
 
         meta = load_json(meta_path)
         state_shardings = (
-            jax.tree.map(lambda x: x.sharding, state)
+            checkpoints.resume_shardings(state, mesh)
             if mesh is not None else None
         )
         restored = checkpoints.load_params(

@@ -349,3 +349,36 @@ def test_export_model_unet_end_to_end(synth_root, out_root):
     np.testing.assert_allclose(
         np.asarray(served), np.asarray(live), atol=1e-5
     )
+
+
+def test_pp_trainer_resume_on_mesh(synth_root, out_root):
+    """--resume on a meshed run (pp layout): restored optimizer
+    scalars must be re-placed replicated, not committed to the
+    snapshot's single device (checkpoints.resume_shardings), and the
+    final train_losses.json must keep the pre-resume epochs."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = out_root / "pp_resume"
+    common = [
+        "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--output_dir", str(out),
+        "--fno_depth", "2", "--fno_hidden_dim", "8",
+        "--fno_modes_x", "4", "--fno_modes_y", "4",
+        "--batch_size", "16", "--eval_batch_size", "16",
+        "--eval_interval", "1", "--log_interval", "100",
+        "--mode", "train", "--mesh_shape", "4x2",
+        "--pp_microbatches", "2",
+    ]
+    main_auto(common + ["--num_epochs", "1"])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
+        / "lr0.0001_d2_h8_m14_m24"
+    )
+    n1 = len(json.loads((run / "train_losses.json").read_text()))
+    assert n1 > 0
+    main_auto(common + ["--num_epochs", "2", "--resume", "1"])
+    n2 = len(json.loads((run / "train_losses.json").read_text()))
+    assert n2 == 2 * n1, (n1, n2)
+    assert (run / "ckpt-1" / "scores.json").exists()

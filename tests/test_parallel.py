@@ -375,3 +375,95 @@ def test_pp_train_step_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5
         )
+
+
+def test_pp_train_step_prestacked_matches_single_device(rng):
+    """The trainer's steady-state pp layout (pp_pack_params: stage
+    params packed once, sharded 1/S over the model axis, optimizer
+    state living on the same shards — no per-step restack) must update
+    identically to the plain single-device step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cfdbench_tpu.metrics import loss_name_to_fn
+    from cfdbench_tpu.parallel.pipeline import (
+        pp_pack_params,
+        pp_param_shardings,
+        pp_unpack_params,
+    )
+    from cfdbench_tpu.training.optim import make_adam
+    from cfdbench_tpu.training.trainer_auto import (
+        AutoTask,
+        TrainState,
+        make_pp_train_step,
+        make_train_step,
+    )
+
+    model = Fno2d(
+        in_chan=2, out_chan=2, n_case_params=5, num_layers=4,
+        modes1=4, modes2=4, hidden_dim=8,
+    )
+    task = AutoTask(model, loss_name_to_fn("nmse"))
+    B, H, W = 8, 16, 16
+    batch = dict(
+        inputs=jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32),
+        labels=jnp.asarray(rng.standard_normal((B, H, W, 2)), jnp.float32),
+        mask=jnp.ones((B, H, W, 1), jnp.float32),
+        case_params=jnp.asarray(rng.standard_normal((B, 5)), jnp.float32),
+        weights=jnp.ones((B,), jnp.float32),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), batch["inputs"], batch["case_params"],
+        batch["mask"],
+    )["params"]
+
+    tx = make_adam(1e-3, steps_per_epoch=10)
+    st_ref = TrainState(
+        jax.tree.map(jnp.copy, params), {}, tx.init(params),
+        jnp.zeros((), jnp.int32),
+    )
+    ref_step = make_train_step(task, tx, seed=0)
+    for _ in range(2):
+        st_ref, sc_ref = ref_step(st_ref, batch)
+
+    mesh = make_mesh("2x4")
+    pp_params = pp_pack_params(
+        jax.tree.map(jnp.copy, params), 4, model.num_layers
+    )
+    pp_params = jax.device_put(
+        pp_params, pp_param_shardings(mesh, pp_params)
+    )
+    st_pp = TrainState(
+        pp_params, {}, tx.init(pp_params), jnp.zeros((), jnp.int32)
+    )
+    pp_step = make_pp_train_step(
+        task, tx, mesh, n_micro=2, prestacked=True
+    )
+    for _ in range(2):
+        st_pp, sc_pp = pp_step(st_pp, batch)
+
+    # Stage params (and their Adam moments via tx.init) really are
+    # 1/S-sharded over the model axis, not replicated.
+    leaf = jax.tree.leaves(st_pp.params["stages"])[0]
+    assert "model" in getattr(leaf.sharding, "spec", ())[0:1] or (
+        leaf.sharding.spec and leaf.sharding.spec[0] == "model"
+    ), leaf.sharding
+
+    np.testing.assert_allclose(
+        float(sc_pp["mse"]), float(sc_ref["mse"]), rtol=1e-5
+    )
+    unpacked = pp_unpack_params(st_pp.params, model.num_layers)
+    ref_leaves, _ = jax.tree.flatten(st_ref.params)
+    pp_leaves, _ = jax.tree.flatten(unpacked)
+    for a, b in zip(ref_leaves, pp_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        )
+
+    # Round-trip identity of the packing itself.
+    rt = pp_unpack_params(
+        pp_pack_params(params, 4, model.num_layers), model.num_layers
+    )
+    for a, b in zip(
+        jax.tree.leaves(params), jax.tree.leaves(rt)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
