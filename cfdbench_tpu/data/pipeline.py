@@ -62,13 +62,17 @@ def num_batches(n: int, batch_size: int) -> int:
 def device_prefetch(batch_iter, size: int = 2, sharding_fn=None):
     """Asynchronous double-buffered device feed.
 
-    Wraps a host-batch iterator so that batch N+1 (and N+2, … up to
-    ``size``) is already being transferred to device while the step
-    consuming batch N runs: ``jax.device_put`` is asynchronous, so
-    issuing it ahead of consumption overlaps host→device DMA with
-    compute. The reference's ``DataLoader(num_workers=4)`` +
-    per-batch ``.cuda()`` covers the host side but still transfers
-    synchronously on use (``src/train_auto.py:33-58``).
+    Wraps a host-batch iterator so that while the step consuming batch
+    N runs, batches N+1 … N+(size-1) are already being transferred to
+    device (``size`` counts every transferred-but-unconsumed batch
+    *including* the one just yielded, so ``size=2`` is classic double
+    buffering with one batch in flight; ``size=1`` only issues each
+    async ``device_put`` immediately before yielding it).
+    ``jax.device_put`` is asynchronous, so issuing it ahead of
+    consumption overlaps host→device DMA with compute. The reference's
+    ``DataLoader(num_workers=4)`` + per-batch ``.cuda()`` covers the
+    host side but still transfers synchronously on use
+    (``src/train_auto.py:33-58``).
 
     ``sharding_fn(batch) -> sharding-pytree`` computes the placement per
     batch (e.g. ``batch_sharding_spatial`` needs shapes); None places on

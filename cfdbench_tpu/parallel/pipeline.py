@@ -116,6 +116,46 @@ def pp_unpack_params(pp_params, num_layers: int):
     return out
 
 
+def pp_map_paramlike(tree, example, fn):
+    """Apply ``fn`` to every subtree of ``tree`` whose pytree structure
+    equals ``example``'s, passing all other leaves through.
+
+    This is how the trainer converts a full ``TrainState`` between the
+    packed pp layout and the standard flax layout: ``params`` itself and
+    the optimizer's param-shaped moment trees (Adam ``mu``/``nu`` —
+    ``optax`` inits them by ``tree.map`` over params, so their structure
+    is identical) all match ``example`` and get converted; scalars like
+    Adam's ``count`` pass through. Keeps the on-disk ``training_state``
+    snapshot in the standard layout — resumable across different
+    model-axis sizes and by pre-packed-layout checkpoints."""
+    tdef = jax.tree.structure(example)
+
+    def is_match(x):
+        try:
+            return jax.tree.structure(x) == tdef
+        except Exception:
+            return False
+
+    return jax.tree.map(
+        lambda x: fn(x) if is_match(x) else x, tree, is_leaf=is_match
+    )
+
+
+def pp_state_to_std(state, packed_example, num_layers: int):
+    """Training state with packed-layout subtrees → standard layout."""
+    return pp_map_paramlike(
+        state, packed_example, lambda p: pp_unpack_params(p, num_layers)
+    )
+
+
+def pp_state_from_std(state, std_example, n_stages: int, num_layers: int):
+    """Inverse of :func:`pp_state_to_std`."""
+    return pp_map_paramlike(
+        state, std_example,
+        lambda p: pp_pack_params(p, n_stages, num_layers),
+    )
+
+
 def pp_param_shardings(mesh: Mesh, pp_params):
     """NamedSharding tree for the packed layout: stage blocks sharded
     1/S over the model axis (each chip holds only its own stages'

@@ -95,16 +95,22 @@ def load_params(template: Any, ckpt_dir: Path) -> Any:
         # when model/ exists but restore fails (kill mid-Orbax-write
         # left a partial dir): the rotation scheme's promise is that
         # one of the two is always intact.
-        last_err = None
+        primary_err = None
         for name in ("model", "backup_model"):
             path = ckpt_dir / name
             if not path.exists():
                 continue
             if name == "backup_model":
                 print(
-                    f"[checkpoints] {ckpt_dir / 'model'} missing or "
-                    "unreadable; restoring from backup_model "
-                    "(interrupted save)"
+                    f"[checkpoints] {ckpt_dir / 'model'} "
+                    + (
+                        "failed to restore"
+                        if primary_err is not None
+                        else "is absent"
+                    )
+                    + "; trying backup_model (the previous rotated "
+                    "save — expected after a save interrupted "
+                    "mid-write)"
                 )
             with ocp.StandardCheckpointer() as ckptr:
                 target = jax.tree.map(
@@ -117,9 +123,13 @@ def load_params(template: Any, ckpt_dir: Path) -> Any:
                     # and abort, don't paper over with a backup that
                     # would mismatch identically.
                     _explain_tree_mismatch(path, e)
-                    last_err = e
-        if last_err is not None:
-            raise last_err
+                    if primary_err is None:
+                        primary_err = e
+        if primary_err is not None:
+            # Surface the PRIMARY (model/) failure — the backup's
+            # error, if any, is usually the same mismatch repeated and
+            # would bury the actionable message.
+            raise primary_err
     msgpack = ckpt_dir / "model.msgpack"
     if not msgpack.exists() and _HAS_ORBAX:
         # Nothing restorable: name the real problem (no model/ or

@@ -542,6 +542,25 @@ def train(
             f"{dict(mesh.shape) if mesh is not None else None}); pass "
             "--mesh_shape NxM with M > 1, or drop --pp_microbatches"
         )
+    if use_pp:
+        # Validate up front, before pp_pack_params touches the tree —
+        # otherwise an unsupported model dies on an opaque
+        # AttributeError/KeyError instead of naming the mistake.
+        from ..models.fno import Fno2d
+
+        if not isinstance(task.model, Fno2d):
+            raise ValueError(
+                "--pp_microbatches supports --model fno (the "
+                f"staged-depth model); got {type(task.model).__name__}"
+            )
+        if opt_state == "factored":
+            raise ValueError(
+                "--opt_state_dtype factored is not supported with "
+                "pipeline parallelism: adafactor keeps per-tensor "
+                "statistics, which over the packed (stages, per, ...) "
+                "stage leaves would diverge from the single-device "
+                "update; use f32 or bf16"
+            )
     if mesh is not None:
         if use_pp:
             # pp steady-state layout: stage blocks packed once
@@ -591,11 +610,36 @@ def train(
             checkpoints.resume_shardings(state, mesh)
             if mesh is not None else None
         )
-        restored = checkpoints.load_params(jax.device_get(state), resume_dir)
-        state = (
-            restored if isinstance(restored, TrainState)
-            else TrainState(*restored)
-        )
+        template = jax.device_get(state)
+        if use_pp:
+            # On disk the snapshot is in the STANDARD layout (see the
+            # save block): layout-free, so it resumes across a
+            # different model-axis size and accepts snapshots taken
+            # before the packed layout existed. Convert the live packed
+            # template to match, restore, then repack.
+            from ..parallel.pipeline import (
+                pp_state_from_std,
+                pp_state_to_std,
+            )
+
+            std_template = pp_state_to_std(
+                template, template.params, task.model.num_layers
+            )
+            restored = checkpoints.load_params(std_template, resume_dir)
+            restored = (
+                restored if isinstance(restored, TrainState)
+                else TrainState(*restored)
+            )
+            state = pp_state_from_std(
+                restored, std_template.params,
+                mesh.shape["model"], task.model.num_layers,
+            )
+        else:
+            restored = checkpoints.load_params(template, resume_dir)
+            state = (
+                restored if isinstance(restored, TrainState)
+                else TrainState(*restored)
+            )
         if state_shardings is not None:
             state = jax.device_put(state, state_shardings)
         start_epoch = meta["epoch"] + 1
@@ -608,6 +652,13 @@ def train(
         train_losses_resumed = (
             load_json(losses_path) if losses_path.exists() else []
         )
+        # Truncate to the committed epoch: a completed run's final dump
+        # contains epochs past the last training_state snapshot, and
+        # those epochs are about to be retrained — keeping their
+        # entries would duplicate them in the final history.
+        train_losses_resumed = train_losses_resumed[
+            : start_epoch * steps_per_epoch
+        ]
         print(f"Resumed from epoch {meta['epoch']}")
     else:
         global_step_resumed = 0
@@ -783,18 +834,26 @@ def train(
                 time_s=time.time() - ep_start,
             )
             # Full-state snapshot for --resume (params + BN stats +
-            # optimizer moments + step).
-            checkpoints.save_params(
-                jax.device_get(state), output_dir / "training_state"
-            )
+            # optimizer moments + step). pp runs store the STANDARD
+            # layout — layout-free on disk, so the snapshot resumes
+            # across a different model-axis size.
+            snap = jax.device_get(state)
+            if use_pp:
+                from ..parallel.pipeline import pp_state_to_std
+
+                snap = pp_state_to_std(
+                    snap, snap.params, task.model.num_layers
+                )
+            checkpoints.save_params(snap, output_dir / "training_state")
+            # Losses BEFORE meta: training_meta.json is the resume
+            # commit record, so a kill between the two writes must
+            # leave the history at-or-ahead of the commit point, never
+            # behind it (resume truncates any overshoot).
+            dump_json(train_losses, output_dir / "train_losses.json")
             dump_json(
                 dict(epoch=ep, global_step=global_step),
                 output_dir / "training_meta.json",
             )
-            # Keep the loss history restorable across --resume (and
-            # crash-survivable: the final dump below never runs on an
-            # interrupted process).
-            dump_json(train_losses, output_dir / "train_losses.json")
     print("====== Training done ======")
     dump_json(train_losses, output_dir / "train_losses.json")
     plot_loss(train_losses, output_dir / "train_losses.png")

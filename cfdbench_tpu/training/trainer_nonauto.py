@@ -231,12 +231,12 @@ def train(
     if mesh is not None:
         state = jax.device_put(state, replicated_sharding(mesh))
 
+    from ..data.core import load_json
+
     start_epoch = 0
     meta_path = output_dir / "training_meta.json"
     resume_dir = output_dir / "training_state"
     if resume and meta_path.exists() and resume_dir.exists():
-        from ..data.core import load_json
-
         meta = load_json(meta_path)
         restored = checkpoints.load_params(
             jax.device_get(state), resume_dir
@@ -252,14 +252,14 @@ def train(
 
     # Restore the loss history so a resumed run's final
     # train_losses.json keeps the pre-resume epochs (checkpointed in
-    # the eval block below; the artifact layout is an API).
-    from ..data.core import load_json as _load_json
-
+    # the eval block below; the artifact layout is an API). Truncated
+    # to the committed epoch: a completed run's final dump contains
+    # epochs past the last snapshot, which are about to be retrained.
     losses_path = output_dir / "train_losses.json"
     train_losses_resumed = (
-        _load_json(losses_path)
+        load_json(losses_path)
         if start_epoch > 0 and losses_path.exists() else []
-    )
+    )[: start_epoch * steps_per_epoch]
 
     train_step = make_train_step(task, tx, seed, (H, W))
     eval_step = make_eval_step(task, (H, W))
@@ -344,15 +344,19 @@ def train(
             checkpoints.save_params(
                 jax.device_get(state), output_dir / "training_state"
             )
-            dump_json(
-                dict(epoch=ep, global_step=global_step),
-                output_dir / "training_meta.json",
-            )
             # Loss history checkpoint for --resume (this epoch's
-            # losses are appended below, so include them here).
+            # losses are appended below, so include them here). Losses
+            # BEFORE meta: training_meta.json is the resume commit
+            # record, so a kill between the two writes must leave the
+            # history at-or-ahead of the commit point, never behind it
+            # (resume truncates any overshoot).
             dump_json(
                 all_train_losses + ep_losses,
                 output_dir / "train_losses.json",
+            )
+            dump_json(
+                dict(epoch=ep, global_step=global_step),
+                output_dir / "training_meta.json",
             )
         all_train_losses += ep_losses
     dump_json(all_train_losses, output_dir / "train_losses.json")

@@ -355,7 +355,10 @@ def test_pp_trainer_resume_on_mesh(synth_root, out_root):
     """--resume on a meshed run (pp layout): restored optimizer
     scalars must be re-placed replicated, not committed to the
     snapshot's single device (checkpoints.resume_shardings), and the
-    final train_losses.json must keep the pre-resume epochs."""
+    final train_losses.json must keep the pre-resume epochs. The
+    resume deliberately uses a DIFFERENT mesh shape (2 stages → 4):
+    the training_state snapshot is stored in the standard (unpacked)
+    layout, so it must be layout-free across model-axis sizes."""
     import jax
 
     if len(jax.devices()) < 8:
@@ -364,7 +367,7 @@ def test_pp_trainer_resume_on_mesh(synth_root, out_root):
     common = [
         "--model", "fno", "--data_name", "cavity_prop_bc_geo",
         "--data_dir", str(synth_root), "--output_dir", str(out),
-        "--fno_depth", "2", "--fno_hidden_dim", "8",
+        "--fno_depth", "4", "--fno_hidden_dim", "8",
         "--fno_modes_x", "4", "--fno_modes_y", "4",
         "--batch_size", "16", "--eval_batch_size", "16",
         "--eval_interval", "1", "--log_interval", "100",
@@ -374,11 +377,78 @@ def test_pp_trainer_resume_on_mesh(synth_root, out_root):
     main_auto(common + ["--num_epochs", "1"])
     run = (
         out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
-        / "lr0.0001_d2_h8_m14_m24"
+        / "lr0.0001_d4_h8_m14_m24"
     )
     n1 = len(json.loads((run / "train_losses.json").read_text()))
     assert n1 > 0
-    main_auto(common + ["--num_epochs", "2", "--resume", "1"])
+    # argparse last-wins: 2x4 overrides common's 4x2 (4 pp stages).
+    main_auto(common + ["--num_epochs", "2", "--resume", "1",
+                        "--mesh_shape", "2x4"])
     n2 = len(json.loads((run / "train_losses.json").read_text()))
     assert n2 == 2 * n1, (n1, n2)
     assert (run / "ckpt-1" / "scores.json").exists()
+
+
+def test_pp_flag_validation(synth_root, out_root):
+    """pp flags on an unsupported model or optimizer state must fail
+    loudly with the actual mistake named — not an AttributeError from
+    pp_pack_params."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    common = [
+        "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root),
+        "--output_dir", str(out_root / "pp_validate"),
+        "--batch_size", "16", "--eval_batch_size", "16",
+        "--num_epochs", "1", "--mode", "train",
+        "--mesh_shape", "4x2", "--pp_microbatches", "2",
+    ]
+    with pytest.raises(ValueError, match="--model fno"):
+        main_auto(common + ["--model", "unet", "--unet_dim", "8"])
+    with pytest.raises(ValueError, match="factored"):
+        main_auto(common + [
+            "--model", "fno", "--fno_depth", "2",
+            "--fno_hidden_dim", "8", "--fno_modes_x", "4",
+            "--fno_modes_y", "4", "--opt_state_dtype", "factored",
+        ])
+
+
+def test_resume_extends_completed_run_without_duplicates(
+    synth_root, out_root
+):
+    """Resuming a COMPLETED run (final train_losses.json holds epochs
+    past the last training_state snapshot) must truncate the restored
+    history to the committed epoch — otherwise the retrained window
+    appears twice in the final artifact."""
+    out = out_root / "resume_trunc"
+    common = [
+        "--model", "fno", "--data_name", "cavity_prop_bc_geo",
+        "--data_dir", str(synth_root), "--batch_size", "16",
+        "--eval_batch_size", "16", "--eval_interval", "2",
+        "--log_interval", "100", "--mode", "train",
+        "--output_dir", str(out), "--fno_depth", "1",
+        "--fno_hidden_dim", "8", "--fno_modes_x", "4",
+        "--fno_modes_y", "4", "--mesh_shape", "1",
+        "--plot_train_examples", "0",
+    ]
+    # 3 epochs, eval every 2: snapshot commits epoch 1, the final dump
+    # additionally holds epoch 2 (beyond the commit point).
+    main_auto(common + ["--num_epochs", "3"])
+    run = (
+        out / "auto" / "cavity_prop_bc_geo" / "dt0.1" / "fno"
+        / "lr0.0001_d1_h8_m14_m24"
+    )
+    losses = json.loads((run / "train_losses.json").read_text())
+    meta = json.loads((run / "training_meta.json").read_text())
+    assert meta["epoch"] == 1
+    steps_per_epoch = len(losses) // 3
+    assert len(losses) == 3 * steps_per_epoch
+    # Resume to 5 epochs: epochs 2-4 retrain from the epoch-1 snapshot;
+    # the final history must hold exactly 5 epochs, not 6.
+    main_auto(common + ["--num_epochs", "5", "--resume", "1"])
+    losses = json.loads((run / "train_losses.json").read_text())
+    assert len(losses) == 5 * steps_per_epoch, (
+        len(losses), steps_per_epoch
+    )
