@@ -753,6 +753,7 @@ class BenchRun:
         # pure {batch: fps} sweep as the module docstring promises.
         self.headline_extra = {}
         self.skipped = []
+        self.deferred = []
         self.child = None
         self.emitted = False
         # --remeasure-baseline prints a {"baseline": ...} dict, not the
@@ -785,10 +786,23 @@ class BenchRun:
             self.emit()
         os._exit(0)
 
-    def run(self, spec, retry=True, timeout=None, est=None):
+    def run(self, spec, retry=True, timeout=None, est=None, apply=None,
+            immediate_retry=False):
         """Run one worker subprocess under the global budget; one retry
         on failure (the retry hits the persistent-XLA-cache entries the
         first attempt wrote before timing out).
+
+        The retry is DEFERRED by default: the failed spec is queued and
+        re-run only when :meth:`flush_deferred` is called, after the
+        rest of the schedule has had its first pass. An immediate retry
+        of an expensive worker starves every family after it in the
+        schedule (round 5: a unet train worker hitting a tunnel stall
+        burned 2x240 s and budget-skipped resnet + gencast); leftover
+        budget goes to retries only once each family had its shot.
+        ``apply``: result consumer, called on whichever attempt
+        succeeds — required for a deferred retry's result to land in
+        ``details``. ``immediate_retry=True`` restores the in-place
+        retry (the ping probe, where nothing is scheduled behind it).
 
         ``est``: rough cold-ish cost estimate (seconds). A worker whose
         estimate exceeds the remaining budget is skipped *without*
@@ -804,13 +818,38 @@ class BenchRun:
         # The retry honors the same est guard as the first attempt — a
         # crashed expensive worker must not burn the tail workers'
         # remaining budget on a doomed re-run.
-        if out is None and retry and self.remaining() > max(
-            MIN_WORKER_SEC, est or 0.0
-        ):
-            print("[bench]   retrying once", file=sys.stderr, flush=True)
-            out = self._run_once(spec, timeout)
+        if out is None and retry:
+            if immediate_retry and self.remaining() > max(
+                MIN_WORKER_SEC, est or 0.0
+            ):
+                print("[bench]   retrying once", file=sys.stderr,
+                      flush=True)
+                out = self._run_once(spec, timeout)
+            elif not immediate_retry:
+                print("[bench]   deferring retry to end of schedule",
+                      file=sys.stderr, flush=True)
+                self.deferred.append((spec, timeout, est, apply))
+        if out is not None and apply is not None:
+            apply(out)
         self.write_partial()
         return out
+
+    def flush_deferred(self):
+        """Re-run first-pass failures with whatever budget is left (in
+        schedule order — headline before cross-family extras)."""
+        pending, self.deferred = self.deferred, []
+        for spec, timeout, est, apply in pending:
+            if self.remaining() < max(MIN_WORKER_SEC, est or 0.0):
+                self.skipped.append(spec)
+                print(f"[bench] SKIP (budget, deferred retry) {spec}",
+                      file=sys.stderr, flush=True)
+                continue
+            print(f"[bench] deferred retry {spec}", file=sys.stderr,
+                  flush=True)
+            out = self._run_once(spec, timeout)
+            if out is not None and apply is not None:
+                apply(out)
+            self.write_partial()
 
     def _run_once(self, spec, timeout=None):
         timeout = min(timeout or self.worker_timeout,
@@ -993,7 +1032,7 @@ def main():
     if "--remeasure-baseline" in sys.argv:
         br = BenchRun()
         br.baseline_mode = True
-        out = br.run(dict(kind="baseline"))
+        out = br.run(dict(kind="baseline"), immediate_retry=True)
         print(json.dumps(dict(baseline=out)))
         return
 
@@ -1007,7 +1046,7 @@ def main():
     # used to stretch per-worker timeouts: fewer workers with room to
     # finish beats many workers that all hit a too-short timeout.
     t_ping = time.monotonic()
-    ping = br.run(dict(kind="ping"), timeout=330.0)
+    ping = br.run(dict(kind="ping"), timeout=330.0, immediate_retry=True)
     ping_sec = time.monotonic() - t_ping
     if ping:
         ping["ping_wall_sec"] = round(ping_sec, 1)
@@ -1026,22 +1065,28 @@ def main():
     # one. It competes for the headline via headline_extra (kept out
     # of the rollout_fps_bf16 batch sweep). Then the f32-storage b128
     # rollout and the flagship train step.
-    bf16s = br.run(dict(kind="rollout", batch=128, dtype="bfloat16"))
-    details["rollout_fps_bf16_storage_b128"] = (
-        round(bf16s["frames_per_sec"], 1) if bf16s else None
-    )
-    br.headline_extra["128_bf16_storage"] = (
-        round(bf16s["frames_per_sec"], 1) if bf16s else None
-    )
+    def apply_bf16s(out):
+        fps = round(out["frames_per_sec"], 1)
+        details["rollout_fps_bf16_storage_b128"] = fps
+        br.headline_extra["128_bf16_storage"] = fps
 
-    out = br.run(dict(kind="rollout", batch=128))
-    br.rollout["128"] = round(out["frames_per_sec"], 1) if out else None
+    details["rollout_fps_bf16_storage_b128"] = None
+    br.headline_extra["128_bf16_storage"] = None
+    br.run(dict(kind="rollout", batch=128, dtype="bfloat16"),
+           apply=apply_bf16s)
+
+    br.rollout["128"] = None
     details["rollout_fps_bf16"] = br.rollout
+    br.run(
+        dict(kind="rollout", batch=128),
+        apply=lambda out: br.rollout.__setitem__(
+            "128", round(out["frames_per_sec"], 1)
+        ),
+    )
 
     # Flagship train step: MIXED precision is the optimized default
     # (bf16 fwd/bwd, f32 master — what --use_mixed_precision drives).
-    train = br.run(dict(kind="train", batch=128))
-    if train:
+    def apply_train(train):
         details["train_step_b128_mixed"] = dict(
             ms_per_step=round(train["ms_per_step"], 3),
             flops_per_step=round(train["flops_per_step"]),
@@ -1049,6 +1094,8 @@ def main():
             mfu_pct=round(train["mfu_pct"], 2),
             examples_per_sec=round(train["examples_per_sec"], 1),
         )
+
+    br.run(dict(kind="train", batch=128), apply=apply_train)
 
     # 2. CROSS-FAMILY coverage — every model family inside the default
     # budget (round 4's schedule front-loaded FNO sweeps and starved
@@ -1058,9 +1105,7 @@ def main():
     # (BASELINE.md): heavy-compile workers annotated so a thin
     # remaining budget skips them in favor of the cheap tail workers.
     for m in ("unet", "resnet"):
-        t = br.run(dict(kind="train", batch=128, model=m),
-                   est=180.0 if m == "resnet" else 90.0)
-        if t:
+        def apply_t(t, m=m):
             row = dict(
                 ms_per_step=round(t["ms_per_step"], 3),
                 examples_per_sec=round(t["examples_per_sec"], 1),
@@ -1068,41 +1113,58 @@ def main():
             if "mfu_pct" in t:  # absent when XLA cost analysis fails
                 row["mfu_pct"] = round(t["mfu_pct"], 2)
             details[f"{m}_train_b128_mixed"] = row
-        r = br.run(dict(kind="rollout", batch=128, model=m),
-                   est=120.0 if m == "resnet" else 60.0)
-        if r:
+
+        br.run(dict(kind="train", batch=128, model=m),
+               est=180.0 if m == "resnet" else 90.0, apply=apply_t)
+
+        def apply_r(r, m=m):
             details[f"{m}_rollout_fps_b128"] = round(
                 r["frames_per_sec"], 1
             )
-    gc = br.run(dict(kind="train_gencast", batch=32), est=150.0)
-    if gc:
-        details["gencast_train_b32"] = {
-            k: round(v, 2) for k, v in gc.items()
-        }
-    na = br.run(dict(kind="train_nonauto", batch=64))
-    if na:
-        details["deeponet_train_b64"] = {
-            k: round(v, 2) for k, v in na.items()
-        }
+
+        br.run(dict(kind="rollout", batch=128, model=m),
+               est=120.0 if m == "resnet" else 60.0, apply=apply_r)
+    br.run(
+        dict(kind="train_gencast", batch=32), est=150.0,
+        apply=lambda gc: details.__setitem__(
+            "gencast_train_b32", {k: round(v, 2) for k, v in gc.items()}
+        ),
+    )
+    br.run(
+        dict(kind="train_nonauto", batch=64),
+        apply=lambda na: details.__setitem__(
+            "deeponet_train_b64", {k: round(v, 2) for k, v in na.items()}
+        ),
+    )
+    # First-pass failures get their retries now, before the extended
+    # tier can touch the remaining budget: one complete family table
+    # outranks precision-forensics sweeps.
+    br.flush_deferred()
 
     # 3. EXTENDED tier (--extended): the now-settled FNO sweep variants
     # — useful for precision forensics, but they must never again crowd
     # the cross-family table out of the budget.
     if "--extended" in sys.argv:
         for batch in (16, 512):
-            out = br.run(dict(kind="rollout", batch=batch))
-            br.rollout[str(batch)] = (
-                round(out["frames_per_sec"], 1) if out else None
+            br.rollout[str(batch)] = None
+            br.run(
+                dict(kind="rollout", batch=batch),
+                apply=lambda out, b=str(batch): br.rollout.__setitem__(
+                    b, round(out["frames_per_sec"], 1)
+                ),
             )
-        f32 = br.run(dict(kind="rollout", batch=128, precision="highest"))
-        details["rollout_fps_f32_b128"] = (
-            round(f32["frames_per_sec"], 1) if f32 else None
+        details["rollout_fps_f32_b128"] = None
+        br.run(
+            dict(kind="rollout", batch=128, precision="highest"),
+            apply=lambda f32: details.__setitem__(
+                "rollout_fps_f32_b128", round(f32["frames_per_sec"], 1)
+            ),
         )
+
         # Train-step precision variants. ``train_step_b128`` is kept as
         # a legacy alias of the f32-storage row (the pre-round-3 default
         # semantics of that key) for historical comparability.
-        train_f32s = br.run(dict(kind="train", batch=128, mixed=False))
-        if train_f32s:
+        def apply_f32s(train_f32s):
             details["train_step_b128_f32_storage"] = dict(
                 ms_per_step=round(train_f32s["ms_per_step"], 3),
                 mfu_pct=round(train_f32s["mfu_pct"], 2),
@@ -1111,42 +1173,61 @@ def main():
                 details["train_step_b128_f32_storage"],
                 legacy_alias_of="train_step_b128_f32_storage",
             )
-        train_f32 = br.run(
-            dict(kind="train", batch=128, mixed=False, precision="highest")
+
+        br.run(dict(kind="train", batch=128, mixed=False),
+               apply=apply_f32s)
+        br.run(
+            dict(kind="train", batch=128, mixed=False,
+                 precision="highest"),
+            apply=lambda train_f32: details.__setitem__(
+                "train_step_b128_f32",
+                dict(
+                    ms_per_step=round(train_f32["ms_per_step"], 3),
+                    achieved_tflops=round(
+                        train_f32["achieved_tflops"], 2
+                    ),
+                ),
+            ),
         )
-        if train_f32:
-            details["train_step_b128_f32"] = dict(
-                ms_per_step=round(train_f32["ms_per_step"], 3),
-                achieved_tflops=round(train_f32["achieved_tflops"], 2),
-            )
         # End-to-end trainer-loop throughput at small batch: async
         # double-buffered feed + device-side losses vs the synchronous
         # reference-style structure (per-batch .cuda() + loss.item()).
-        loop_async = br.run(
+        loops = {}
+        br.run(
             dict(kind="train_loop", batch=16, prefetch=2,
-                 lazy_scores=True)
+                 lazy_scores=True),
+            apply=lambda o: loops.__setitem__("async", o),
         )
-        loop_sync = br.run(
+        br.run(
             dict(kind="train_loop", batch=16, prefetch=0,
-                 lazy_scores=False)
+                 lazy_scores=False),
+            apply=lambda o: loops.__setitem__("sync", o),
         )
-        if loop_async and loop_sync:
-            details["trainer_loop_b16"] = dict(
-                async_ms_per_step=round(loop_async["ms_per_step"], 2),
-                sync_ms_per_step=round(loop_sync["ms_per_step"], 2),
-                speedup=round(
-                    loop_sync["ms_per_step"]
-                    / loop_async["ms_per_step"], 2
-                ),
-            )
         # Pallas head (XLA-vs-Pallas head timing): only batch_tile=1
         # compiles on this backend (tiles ≥2 exceed the 16M scoped-vmem
         # stack limit); measured 2026-08-16: pallas 14.5k vs xla
         # 61.2k f/s — XLA fusion wins, recorded in PARITY.md §perf.
-        out = br.run(dict(kind="rollout_pallas", batch=128, batch_tile=1))
-        details["head_xla_vs_pallas_b128"] = (
-            {k: round(v, 1) for k, v in out.items()} if out else None
+        details["head_xla_vs_pallas_b128"] = None
+        br.run(
+            dict(kind="rollout_pallas", batch=128, batch_tile=1),
+            apply=lambda out: details.__setitem__(
+                "head_xla_vs_pallas_b128",
+                {k: round(v, 1) for k, v in out.items()},
+            ),
         )
+        br.flush_deferred()
+        # The loop pair's combined row is computed after the deferred
+        # retries so a first-pass failure of either half can still
+        # complete the comparison.
+        if "async" in loops and "sync" in loops:
+            details["trainer_loop_b16"] = dict(
+                async_ms_per_step=round(loops["async"]["ms_per_step"], 2),
+                sync_ms_per_step=round(loops["sync"]["ms_per_step"], 2),
+                speedup=round(
+                    loops["sync"]["ms_per_step"]
+                    / loops["async"]["ms_per_step"], 2
+                ),
+            )
 
     br.emit()
 

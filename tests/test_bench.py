@@ -170,10 +170,13 @@ def _run_last_known_good(tmp_path, monkeypatch, bench):
     assert json.loads(lines[-1])["value"] == 50000.0
 
 
-def test_retry_honors_cost_estimate(tmp_path, monkeypatch):
-    """A crashed expensive worker must not retry into a budget too
-    small for its cost estimate (round-4 review: the retry only
-    checked MIN_WORKER_SEC, reintroducing tail-worker starvation)."""
+def test_retry_is_deferred_and_honors_cost_estimate(tmp_path, monkeypatch):
+    """A crashed worker's retry is DEFERRED to flush_deferred — an
+    immediate retry of an expensive worker starves every family behind
+    it in the schedule (round 5: a stalled unet train worker burned
+    2x240 s and budget-skipped resnet + gencast). The deferred retry
+    still honors the cost-estimate guard, and its result lands in
+    details via the apply callback."""
     import bench
 
     # BenchRun installs SIGTERM/SIGINT handlers that os._exit; restore
@@ -184,25 +187,48 @@ def test_retry_honors_cost_estimate(tmp_path, monkeypatch):
     try:
         br = bench.BenchRun(budget=1000)
         attempts = []
+        fail_first = {"x": True}
 
         def fake_run_once(spec, timeout=None):
-            attempts.append(spec)
+            attempts.append(spec["kind"])
             br.budget -= 150  # simulate the attempt consuming budget
-            return None  # crash
+            if fail_first.pop(spec["kind"], False):
+                return None  # crash on the first attempt only
+            return {"ok": spec["kind"]}
 
         br._run_once = fake_run_once
+        applied = {}
 
-        # remaining starts ~1000; after the first (crashed) attempt it
-        # is ~850 >= est=180, so the retry runs: 2 attempts.
-        out = br.run({"kind": "x"}, est=180)
-        assert out is None and len(attempts) == 2
+        # First pass: x crashes (1 attempt, no immediate retry), y runs.
+        out = br.run({"kind": "x"}, est=180,
+                     apply=lambda o: applied.__setitem__("x", o))
+        assert out is None and attempts == ["x"]
+        out = br.run({"kind": "y"}, est=50,
+                     apply=lambda o: applied.__setitem__("y", o))
+        assert out == {"ok": "y"} and attempts == ["x", "y"]
+        assert applied == {"y": {"ok": "y"}}
 
-        # Squeeze the budget: remaining ~200 >= est for the first
-        # attempt, ~50 < est after its crash — retry must be skipped.
+        # Deferred retry succeeds and its result reaches details.
+        br.flush_deferred()
+        assert attempts == ["x", "y", "x"]
+        assert applied["x"] == {"ok": "x"}
+        assert br.deferred == []
+
+        # A deferred retry into a too-small budget is skipped, not run.
+        fail_first["z"] = True
+        br.run({"kind": "z"}, est=180)
+        assert attempts[-1] == "z" and len(br.deferred) == 1
+        br.budget = br.elapsed() + 50  # below est=180
+        br.flush_deferred()
+        assert attempts[-1] == "z"  # no new attempt
+        assert any(s.get("kind") == "z" for s in br.skipped)
+
+        # immediate_retry=True restores the in-place retry (ping).
         attempts.clear()
-        br.budget = br.elapsed() + 200
-        out = br.run({"kind": "y"}, est=180)
-        assert out is None and len(attempts) == 1
+        br.budget = br.elapsed() + 1000
+        fail_first["p"] = True
+        out = br.run({"kind": "p"}, est=50, immediate_retry=True)
+        assert out == {"ok": "p"} and attempts == ["p", "p"]
     finally:
         for sig, h in old.items():
             signal.signal(sig, h)
