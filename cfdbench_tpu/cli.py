@@ -355,10 +355,15 @@ def main_multistep(argv=None) -> None:
     """Mirror of ``src/test_multistep.py:180-236``: 20-step rollout on
     the test split, per-step masked-u metrics averaged over cases —
     executed as one jitted scan over all cases at once. With
-    ``--mesh_shape Nx1`` (or the default ``auto`` on a multi-chip host)
-    the case axis is dp-sharded over the mesh's data axis; reported
-    metrics are identical to the single-device run (padding cases are
-    weighted out)."""
+    ``--mesh_shape NxM`` (or the default ``auto`` on a multi-chip host)
+    the case axis is dp-sharded over the mesh's data axis and — for
+    M > 1 — params are tensor-sharded over the model axis with the
+    same Megatron-style rules the trainers use
+    (``parallel/sharding_rules.py``), so a checkpoint too large for one
+    chip's HBM can still be rolled out. Reported metrics equal the
+    single-device run (padding cases are weighted out; tp introduces
+    only reduction-order float noise, bounded in
+    tests/test_cli.py::test_multistep_sharded_matches_single_device)."""
     from .training.rollout import (
         make_rollout_fn,
         multistep_metrics,
@@ -444,21 +449,28 @@ def main_multistep(argv=None) -> None:
 
     output_dir = get_output_dir(args, is_auto=True)
 
-    # dp-sharded rollout (auto + gencast branches): shard the case axis
-    # over the mesh's data axis — the rollout scan and per-step metric
-    # math run SPMD, XLA inserts nothing (fully batch-parallel). The
-    # case count is padded to a multiple of dp by repeating the last
-    # case; padding replicas carry weight 0 so the reported per-step
-    # means equal the unpadded single-device result exactly
+    # dp×tp-sharded rollout (auto + gencast branches): shard the case
+    # axis over the mesh's data axis — the rollout scan and per-step
+    # metric math run SPMD, XLA inserts nothing (fully batch-parallel).
+    # The case count is padded to a multiple of dp by repeating the
+    # last case; padding replicas carry weight 0 so the reported
+    # per-step means equal the unpadded single-device result exactly
     # (tests/test_cli.py::test_multistep_sharded_matches_single_device).
+    # With a model axis (--mesh_shape NxM, M > 1) params are
+    # additionally tensor-sharded by the trainers' Megatron-style rules
+    # (parallel/sharding_rules.py); GSPMD propagates the channel
+    # sharding through the rollout and inserts the ICI collectives.
     from .parallel.mesh import (
         DATA_AXIS,
+        MODEL_AXIS,
         batch_sharding,
         replicated_sharding,
     )
+    from .parallel.sharding_rules import shard_params
 
     mesh = _mesh(args)
     dp = mesh.shape[DATA_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
     n_real = frame0.shape[0]
     case_weights = None
     if dp > 1:
@@ -478,18 +490,29 @@ def main_multistep(argv=None) -> None:
             )
         print(f"[multistep] sharding {frame0.shape[0]} cases "
               f"({n_real} real) over {dp} data-parallel devices")
-
+    if dp > 1 or tp > 1:
         def _shard_in(a):
             return jax.device_put(a, batch_sharding(mesh))
 
         def _replicate(tree):
             return jax.device_put(tree, replicated_sharding(mesh))
+
+        def _shard_params(tree):
+            return (
+                shard_params(tree, mesh) if tp > 1 else _replicate(tree)
+            )
+
+        if tp > 1:
+            print(f"[multistep] tensor-sharding params over {tp} "
+                  "model-axis devices")
     else:
         def _shard_in(a):
             return a
 
         def _replicate(tree):
             return tree
+
+        _shard_params = _replicate
 
     if args.model == "gencast":
         # GenCast rollout: jitted scan keeping the 2-frame window
@@ -523,7 +546,7 @@ def main_multistep(argv=None) -> None:
         template = jax.eval_shape(
             lambda: task.init_variables(jax.random.PRNGKey(0), sample)[0]
         )
-        params = _replicate(dict(
+        params = _shard_params(dict(
             load_params({"params": template}, output_dir / "best_model")
         )["params"])
         preds = jax.jit(
@@ -619,7 +642,7 @@ def main_multistep(argv=None) -> None:
                 include_initial=(args.model == "resnet"),
             )
         preds = rollout(
-            _replicate(params), _shard_in(roll_frame0[..., :fb]),
+            _shard_params(params), _shard_in(roll_frame0[..., :fb]),
             _shard_in(roll_cp), _shard_in(roll_mask),
         )
         if preds.dtype != np.float32:
