@@ -756,6 +756,18 @@ class BenchRun:
         self.deferred = []
         self.child = None
         self.emitted = False
+        # Execution-hang wedge detection: the ping-based stretch at
+        # startup only catches slow *compiles*; the other observed
+        # wedge flavor is a fast ping with large-program *executions*
+        # hanging, then recovering in ~350 s (BASELINE.md §wedge,
+        # re-observed 2026-08-19: ping 34 s, both rollout workers dead
+        # at 240 s). One-shot: after the first worker TIMEOUT, stretch
+        # the remaining workers' timeout to min(420 s, remaining/2) —
+        # fewer attempts with room to clear the hang beats draining the
+        # budget in 240 s bites. Deferred retries pick the stretched
+        # value up automatically (they re-resolve self.worker_timeout).
+        self.timeout_stretched = False
+        self.last_failure_timeout = False
         # --remeasure-baseline prints a {"baseline": ...} dict, not the
         # rollout-metric schema; the signal handler must match it so a
         # driver kill can't masquerade as a 0-valued rollout headline.
@@ -815,6 +827,24 @@ class BenchRun:
                   flush=True)
             return None
         out = self._run_once(spec, timeout)
+        if (
+            out is None
+            and self.last_failure_timeout
+            and not self.timeout_stretched
+        ):
+            # Execution-hang wedge (see __init__): one-shot stretch so
+            # the rest of the schedule gets past a ~350 s recovery.
+            self.timeout_stretched = True
+            stretched = max(
+                self.worker_timeout, min(420.0, self.remaining() / 2)
+            )
+            if stretched > self.worker_timeout:
+                self.worker_timeout = stretched
+                print(
+                    f"[bench] worker timeout after a fast ping: "
+                    f"stretching worker timeout -> {stretched:.0f}s",
+                    file=sys.stderr, flush=True,
+                )
         # The retry honors the same est guard as the first attempt — a
         # crashed expensive worker must not burn the tail workers'
         # remaining budget on a doomed re-run.
@@ -852,6 +882,7 @@ class BenchRun:
             self.write_partial()
 
     def _run_once(self, spec, timeout=None):
+        self.last_failure_timeout = False
         timeout = min(timeout or self.worker_timeout,
                       max(20.0, self.remaining() - 15))
         print(f"[bench] {spec} (timeout {timeout:.0f}s, "
@@ -876,6 +907,9 @@ class BenchRun:
             print(f"[bench]   -> {out}", file=sys.stderr, flush=True)
             return out
         except Exception as e:  # timeout, crash, parse failure
+            self.last_failure_timeout = isinstance(
+                e, subprocess.TimeoutExpired
+            )
             print(f"[bench]   -> FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
             return None

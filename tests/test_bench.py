@@ -232,3 +232,45 @@ def test_retry_is_deferred_and_honors_cost_estimate(tmp_path, monkeypatch):
     finally:
         for sig, h in old.items():
             signal.signal(sig, h)
+
+def test_worker_timeout_stretches_once(tmp_path, monkeypatch):
+    """Execution-hang wedge (fast ping, large executions hanging ~350 s
+    then recovering — BASELINE.md §wedge, re-observed 2026-08-19): the
+    FIRST worker TIMEOUT stretches the remaining workers' timeout to
+    min(420 s, remaining/2), one-shot; a non-timeout crash does not."""
+    import bench
+
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    old = {s: signal.getsignal(s) for s in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        br = bench.BenchRun(budget=2000)
+        base = br.worker_timeout
+
+        # A non-timeout crash first: no stretch.
+        def fake_crash(spec, timeout=None):
+            br.last_failure_timeout = False
+            return None
+
+        br._run_once = fake_crash
+        br.run({"kind": "a"}, retry=False, est=10)
+        assert br.worker_timeout == base and not br.timeout_stretched
+
+        def fake_timeout(spec, timeout=None):
+            br.last_failure_timeout = True
+            return None
+
+        br._run_once = fake_timeout
+        br.run({"kind": "b"}, retry=False, est=10)
+        assert br.timeout_stretched
+        stretched = br.worker_timeout
+        assert stretched == min(420.0, br.remaining() / 2) or (
+            stretched == base  # tiny remaining budget: max() keeps base
+        )
+        assert stretched >= base
+
+        # One-shot: a second timeout leaves it alone.
+        br.run({"kind": "c"}, retry=False, est=10)
+        assert br.worker_timeout == stretched
+    finally:
+        for sig, h in old.items():
+            signal.signal(sig, h)
